@@ -1,0 +1,36 @@
+"""robust_e2e_gan_tpu — TPU-native jointly-adversarial robust end-to-end ASR.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the public
+``bliunlpr/Robust_e2e_gan`` repo (Interspeech 2019, "Jointly Adversarial
+Enhancement Training for Robust End-to-End Speech Recognition"):
+
+- a differentiable feature frontend (framing -> STFT power -> log-mel fbank ->
+  CMVN), with a fused Pallas TPU kernel for the whole chain,
+- a mask-estimating BLSTM speech-enhancement generator and a conv
+  discriminator trained adversarially,
+- an ESPnet-style hybrid CTC/attention encoder-decoder ASR model
+  (VGG conv frontend + BLSTM encoder, location-aware attention decoder,
+  CTC branch),
+- alternating jitted generator/discriminator training steps with the joint
+  enhancement + CTC + attention loss,
+- batched joint CTC/attention beam search fully on device,
+- data-parallel training over a ``jax.sharding.Mesh``.
+
+The reference tree was unavailable at build time (see SURVEY.md provenance
+note); component parity is against SURVEY.md section 2's inventory and
+BASELINE.json's capability spec.
+"""
+
+__version__ = "0.1.0"
+
+from robust_e2e_gan_tpu.config import (  # noqa: F401
+    FrontendConfig,
+    EncoderConfig,
+    DecoderConfig,
+    AttentionConfig,
+    EnhancerConfig,
+    DiscriminatorConfig,
+    E2EConfig,
+    TrainConfig,
+    JointConfig,
+)

@@ -1,0 +1,221 @@
+"""Configuration dataclasses.
+
+TPU-native replacement for the reference's pix2pix-style ``options/`` argparse
+classes (SURVEY.md section 2a "Options/config": BaseOptions/TrainOptions/
+TestOptions namespaces threaded everywhere). Here a single tree of frozen
+dataclasses defines the whole experiment; it is hashable so it can be a static
+argument of jitted step functions, serializable to JSON into the experiment
+dir, and overridable from the CLI (see train/cli.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Feature frontend: framing -> STFT power -> log-mel -> CMVN.
+
+    Semantics follow Kaldi fbank defaults (dither=0, snip-edges=true,
+    povey window, preemphasis 0.97) which the reference inherited through
+    its offline Kaldi feature pipeline (SURVEY.md L0/L2); locked by golden
+    vectors in tests/test_fbank.py.
+    """
+
+    sample_rate: int = 16000
+    frame_length: int = 400  # 25 ms
+    frame_shift: int = 160  # 10 ms
+    n_fft: int = 512
+    n_mels: int = 80
+    f_min: float = 20.0
+    f_max: Optional[float] = None  # None -> Nyquist
+    preemphasis: float = 0.97
+    remove_dc: bool = True
+    window: str = "povey"  # povey | hann | hamming
+    log_floor: float = 1.1920928955078125e-07  # FLT_EPSILON, Kaldi log floor
+    use_power: bool = True  # power spectrum (Kaldi default) vs magnitude
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """VGG conv frontend + BLSTM stack (reference: ESPnet-style VGG2L+BLSTMP,
+    SURVEY.md section 2a "ASR Encoder")."""
+
+    input_dim: int = 80
+    vgg_channels: Tuple[int, int] = (64, 128)
+    num_layers: int = 3  # BLSTM layers
+    hidden_dim: int = 512  # per direction
+    proj_dim: int = 512  # projection after each BLSTM layer
+    dropout_rate: float = 0.0
+    subsample_factor: int = 4  # fixed by the two VGG 2x2 maxpools
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    """Location-aware attention (reference: ESPnet AttLoc, SURVEY.md
+    section 2a "Attention"): 1-D conv over the previous alignment feeds an
+    additive (tanh) scorer."""
+
+    dim: int = 512  # attention inner dim
+    conv_channels: int = 10
+    conv_kernel: int = 201  # odd; reference-era aconv_filts=100 -> 2*100+1
+    sharpening: float = 2.0  # scaling of pre-softmax scores
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """LSTM attention decoder (reference: ESPnet Decoder, SURVEY.md
+    section 2a "ASR Decoder")."""
+
+    vocab_size: int = 52
+    embed_dim: int = 512
+    num_layers: int = 1
+    hidden_dim: int = 512
+    dropout_rate: float = 0.0
+    label_smoothing: float = 0.0
+    sampling_probability: float = 0.0  # scheduled sampling
+
+
+@dataclass(frozen=True)
+class EnhancerConfig:
+    """Mask-estimating BLSTM enhancement generator G (SURVEY.md section 2a
+    "Enhancement generator"): BLSTM over compressed noisy spectra -> sigmoid
+    T-F mask -> mask * noisy = enhanced."""
+
+    input_dim: int = 257  # n_fft//2 + 1
+    num_layers: int = 2
+    hidden_dim: int = 512
+    mask_floor: float = 0.0  # optional lower bound on the mask
+    compression: str = "log1p"  # input compression: log1p | log | none
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Conv discriminator D over feature maps (SURVEY.md section 2a
+    "Discriminator"): classifies enhanced vs clean features."""
+
+    input_dim: int = 80  # operates on log-mel features
+    channels: Tuple[int, ...] = (32, 64, 128)
+    kernel: Tuple[int, int] = (3, 3)
+    loss_type: str = "lsgan"  # lsgan | bce
+
+
+@dataclass(frozen=True)
+class E2EConfig:
+    """Hybrid CTC/attention E2E model (SURVEY.md section 2a "E2E wrapper"):
+    loss = mtlalpha * ctc + (1 - mtlalpha) * att."""
+
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    attention: AttentionConfig = field(default_factory=AttentionConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    mtlalpha: float = 0.5
+    blank_id: int = 0
+    sos_id: int = 1  # shared <sos>/<eos> per ESPnet convention
+    eos_id: int = 1
+    ignore_id: int = -1  # label padding (ESPnet converter convention)
+
+
+@dataclass(frozen=True)
+class JointConfig:
+    """Joint adversarial fine-tuning objective (SURVEY.md call stack 3.1):
+    loss_G = L_ASR(enhanced) + lambda_adv * L_adv + mu_enh * L_enh."""
+
+    e2e: E2EConfig = field(default_factory=E2EConfig)
+    enhancer: EnhancerConfig = field(default_factory=EnhancerConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    lambda_adv: float = 1.0
+    mu_enh: float = 1.0
+    enh_loss: str = "l2"  # l2 | l1 on (enhanced, clean) spectra
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loop settings (reference: Adadelta/Adam, grad-clip 5,
+    eps-decay on dev plateau — SURVEY.md section 2a "Train scripts")."""
+
+    optimizer: str = "adadelta"  # adadelta | adam
+    learning_rate: float = 1.0  # adadelta rho-style lr; adam uses 1e-3
+    adadelta_rho: float = 0.95
+    adadelta_eps: float = 1e-8
+    eps_decay: float = 0.01  # multiply eps on dev-accuracy plateau
+    grad_clip: float = 5.0
+    batch_size: int = 16
+    num_epochs: int = 15
+    seed: int = 1
+    # static-shape bucketing (SURVEY.md section 5 long-context row)
+    length_buckets: Tuple[int, ...] = (256, 512, 1024, 1600)
+    max_label_len: int = 128
+    checkpoint_dir: str = "checkpoints/default"
+    keep_best_metric: str = "dev_acc"
+    log_every: int = 10
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+def to_dict(cfg: Any) -> Dict[str, Any]:
+    """Recursively convert a config dataclass to a plain dict."""
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Any, path: str) -> None:
+    """Serialize a config into the experiment dir (reference saved its opt
+    namespace into the checkpoint dir; SURVEY.md section 5 Config row)."""
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2, default=str)
+
+
+def _build(cls, data: Dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+            kwargs[f.name] = _build(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "frontend": FrontendConfig,
+    "encoder": EncoderConfig,
+    "attention": AttentionConfig,
+    "decoder": DecoderConfig,
+    "e2e": E2EConfig,
+    "enhancer": EnhancerConfig,
+    "discriminator": DiscriminatorConfig,
+}
+
+
+def load_config(cls, path: str):
+    """Load a config dataclass tree from JSON."""
+    with open(path) as f:
+        data = json.load(f)
+
+    def build(c, d):
+        kwargs = {}
+        for fld in dataclasses.fields(c):
+            if fld.name not in d:
+                continue
+            v = d[fld.name]
+            if fld.name in _NESTED and isinstance(v, dict):
+                kwargs[fld.name] = build(_NESTED[fld.name], v)
+            elif isinstance(v, list):
+                kwargs[fld.name] = tuple(v)
+            else:
+                kwargs[fld.name] = v
+        return c(**kwargs)
+
+    return build(cls, data)

@@ -1,0 +1,90 @@
+"""WER/CER scoring: Levenshtein edit distance.
+
+Replaces the reference's Kaldi/sclite scoring step (SURVEY.md L5 "Eval /
+scoring"). Pure-Python implementation here; a C++ implementation with a
+ctypes binding lives in csrc/ (robust_e2e_gan_tpu.utils.native) and is used
+automatically when built — scoring happens on host after decode, so it is
+deliberately not a JAX op.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+
+def edit_distance(ref: Sequence, hyp: Sequence) -> int:
+    """Levenshtein distance between two token sequences."""
+    try:
+        from robust_e2e_gan_tpu.utils.native import native_edit_distance
+
+        d = native_edit_distance(ref, hyp)
+        if d is not None:
+            return d
+    except Exception:
+        pass
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        ri = ref[i - 1]
+        for j in range(1, m + 1):
+            cost = 0 if ri == hyp[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[m]
+
+
+def wer_details(
+    refs: List[Sequence], hyps: List[Sequence]
+) -> Dict[str, float]:
+    """Corpus-level error rate: sum(edit) / sum(ref_len).
+
+    Works for WER (word sequences) or CER (char sequences) depending on how
+    the caller tokenizes.
+    """
+    if len(refs) != len(hyps):
+        raise ValueError("refs and hyps must have equal length")
+    errs = 0
+    total = 0
+    for r, h in zip(refs, hyps):
+        errs += edit_distance(r, h)
+        total += len(r)
+    return {
+        "errors": float(errs),
+        "ref_tokens": float(total),
+        "error_rate": errs / max(total, 1),
+    }
+
+
+def align_stats(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
+    """(substitutions, deletions, insertions) from a full DP backtrace."""
+    n, m = len(ref), len(hyp)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        dp[i][0] = i
+    for j in range(m + 1):
+        dp[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if ref[i - 1] == hyp[j - 1] else 1
+            dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1, dp[i - 1][j - 1] + cost)
+    subs = dels = ins = 0
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i][j] == dp[i - 1][j - 1] + (
+            0 if ref[i - 1] == hyp[j - 1] else 1
+        ):
+            if ref[i - 1] != hyp[j - 1]:
+                subs += 1
+            i, j = i - 1, j - 1
+        elif i > 0 and dp[i][j] == dp[i - 1][j] + 1:
+            dels += 1
+            i -= 1
+        else:
+            ins += 1
+            j -= 1
+    return subs, dels, ins

@@ -1,0 +1,240 @@
+"""Differentiable feature frontend: framing -> STFT power -> log-mel -> CMVN.
+
+Pure-JAX implementation of the reference's feature chain (SURVEY.md section 2a
+"Feature (fbank) module": differentiable framing/windowing, power spectrum,
+mel filterbank matmul, log, CMVN, applied to the enhancer output so ASR
+gradients flow into the generator). Semantics follow Kaldi fbank defaults
+(snip-edges, dither=0, per-frame DC removal, in-frame preemphasis, povey
+window, power spectrum, natural log with FLT_EPSILON floor) so that features
+match what the reference consumed from its offline Kaldi pipeline.
+
+TPU-first design choices:
+- The DFT is expressed as two real matmuls against precomputed cos/sin bases
+  (frame @ C, frame @ S) instead of an FFT: (n_frames, n_fft) x (n_fft,
+  n_freqs) contractions map straight onto the MXU and fuse with the mel
+  matmul under XLA. For n_fft=512 this costs ~2x the FLOPs of an FFT but
+  runs at matmul speed-of-light and keeps the whole chain in one fusion.
+- All shapes are static; variable length is handled by masks so jit never
+  recompiles per utterance length.
+- A fully fused single-kernel Pallas version of this chain lives in
+  ops/fbank_pallas.py with a parity test against this module.
+
+Everything here is differentiable end-to-end, which is what lets the joint
+adversarial objective backprop ASR loss into the enhancement generator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_e2e_gan_tpu.config import FrontendConfig
+
+
+def num_frames(num_samples: int, cfg: FrontendConfig) -> int:
+    """Kaldi snip-edges frame count: 1 + floor((N - flen) / fshift)."""
+    if num_samples < cfg.frame_length:
+        return 0
+    return 1 + (num_samples - cfg.frame_length) // cfg.frame_shift
+
+
+def window_fn(cfg: FrontendConfig) -> np.ndarray:
+    """Analysis window (numpy; baked into the graph as a constant).
+
+    povey = hann ** 0.85 (Kaldi's default fbank window).
+    """
+    n = cfg.frame_length
+    x = np.arange(n, dtype=np.float64)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * x / (n - 1))
+    if cfg.window == "povey":
+        w = hann ** 0.85
+    elif cfg.window == "hann":
+        w = hann
+    elif cfg.window == "hamming":
+        w = 0.54 - 0.46 * np.cos(2.0 * np.pi * x / (n - 1))
+    else:
+        raise ValueError(f"unknown window {cfg.window!r}")
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices_np(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT bases: C[k, j] = cos(-2 pi k j / n), S likewise with sin."""
+    k = np.arange(n_fft, dtype=np.float64)[:, None]  # time index
+    f = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]  # freq index
+    ang = -2.0 * np.pi * k * f / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def dft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(n_fft, n_freqs) cos/sin matrices for DFT-as-matmul."""
+    return _dft_matrices_np(n_fft)
+
+
+def _hz_to_mel(hz):
+    return 1127.0 * np.log(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_filterbank_np(
+    n_mels: int, n_fft: int, sample_rate: int, f_min: float, f_max: float
+) -> np.ndarray:
+    """Kaldi-style triangular mel filterbank, (n_freqs, n_mels), no area norm.
+
+    Triangles are linear in mel space evaluated at FFT-bin center
+    frequencies, matching Kaldi's MelBanks (vtln off).
+    """
+    n_freqs = n_fft // 2 + 1
+    fft_hz = np.arange(n_freqs, dtype=np.float64) * sample_rate / n_fft
+    fft_mel = _hz_to_mel(fft_hz)
+    low, high = _hz_to_mel(f_min), _hz_to_mel(f_max)
+    centers = np.linspace(low, high, n_mels + 2)
+    left, mid, right = centers[:-2], centers[1:-1], centers[2:]
+    up = (fft_mel[:, None] - left[None, :]) / (mid - left)[None, :]
+    down = (right[None, :] - fft_mel[:, None]) / (right - mid)[None, :]
+    fb = np.maximum(0.0, np.minimum(up, down))
+    return fb.astype(np.float32)
+
+
+def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
+    f_max = cfg.f_max if cfg.f_max is not None else cfg.sample_rate / 2.0
+    return _mel_filterbank_np(
+        cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.f_min, float(f_max)
+    )
+
+
+def frame_signal(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Slice a (..., N) waveform into (..., T, frame_length) frames.
+
+    Static gather: the index matrix is a compile-time constant, so XLA lowers
+    this to a single gather with no dynamic shapes.
+    """
+    n = wav.shape[-1]
+    t = num_frames(n, cfg)
+    idx = (
+        np.arange(t, dtype=np.int32)[:, None] * cfg.frame_shift
+        + np.arange(cfg.frame_length, dtype=np.int32)[None, :]
+    )
+    return wav[..., idx]
+
+
+def _preprocess_frames(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Per-frame DC removal, in-frame preemphasis, window (Kaldi order)."""
+    if cfg.remove_dc:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if cfg.preemphasis > 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - cfg.preemphasis * prev
+    return frames * jnp.asarray(window_fn(cfg))
+
+
+def stft_power(
+    wav: jnp.ndarray, cfg: FrontendConfig, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """(..., N) waveform -> (..., T, n_freqs) power (or magnitude) spectrum.
+
+    DFT as two matmuls on the MXU; zero-padding frame_length -> n_fft is
+    folded into the bases by simply truncating them to frame_length rows.
+    """
+    frames = _preprocess_frames(frame_signal(wav, cfg), cfg)
+    cos_m, sin_m = dft_matrices(cfg.n_fft)
+    # zero-padded tail of the frame contributes nothing: use first L rows.
+    cos_m = jnp.asarray(cos_m[: cfg.frame_length], dtype=dtype)
+    sin_m = jnp.asarray(sin_m[: cfg.frame_length], dtype=dtype)
+    frames = frames.astype(dtype)
+    re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    if not cfg.use_power:
+        power = jnp.sqrt(jnp.maximum(power, 0.0))
+    return power
+
+
+def log_mel(power: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """(..., T, n_freqs) power spectrum -> (..., T, n_mels) log-mel fbank."""
+    fb = jnp.asarray(mel_filterbank(cfg), dtype=power.dtype)
+    mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32)
+    return jnp.log(jnp.maximum(mel, cfg.log_floor))
+
+
+def utterance_cmvn(
+    feats: jnp.ndarray,
+    frame_mask: Optional[jnp.ndarray] = None,
+    norm_var: bool = True,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Per-utterance CMVN over valid frames.
+
+    feats: (B, T, D); frame_mask: (B, T) 1.0 for valid frames (None = all).
+    Padding frames are excluded from the statistics and zeroed on output so
+    downstream masked ops see exact zeros in the pad region.
+    """
+    if frame_mask is None:
+        mean = jnp.mean(feats, axis=-2, keepdims=True)
+        var = jnp.mean(jnp.square(feats - mean), axis=-2, keepdims=True)
+        out = feats - mean
+        if norm_var:
+            out = out * jax.lax.rsqrt(var + eps)
+        return out
+    m = frame_mask[..., None].astype(feats.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(feats * m, axis=-2, keepdims=True) / denom
+    var = jnp.sum(jnp.square(feats - mean) * m, axis=-2, keepdims=True) / denom
+    out = feats - mean
+    if norm_var:
+        out = out * jax.lax.rsqrt(var + eps)
+    return out * m
+
+
+def apply_cmvn(
+    feats: jnp.ndarray, mean: jnp.ndarray, inv_std: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply precomputed (global/speaker) CMVN stats, Kaldi apply-cmvn style."""
+    return (feats - mean) * inv_std
+
+
+def fbank(
+    wav: jnp.ndarray,
+    cfg: FrontendConfig,
+    wav_lengths: Optional[jnp.ndarray] = None,
+    cmvn: str = "utterance",
+    cmvn_stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full chain: (B, N) waveform -> ((B, T, n_mels) feats, (B, T) mask).
+
+    cmvn: "utterance" | "global" (requires cmvn_stats) | "none".
+    Returns frame_mask=None when wav_lengths is None.
+    """
+    power = stft_power(wav, cfg)
+    feats = log_mel(power, cfg)
+    frame_mask = None
+    if wav_lengths is not None:
+        t = feats.shape[-2]
+        n_valid = jnp.maximum(
+            (wav_lengths - cfg.frame_length) // cfg.frame_shift + 1, 0
+        )
+        frame_mask = (
+            jnp.arange(t, dtype=jnp.int32)[None, :] < n_valid[:, None]
+        ).astype(feats.dtype)
+    if cmvn == "utterance":
+        feats = utterance_cmvn(feats, frame_mask)
+    elif cmvn == "global":
+        if cmvn_stats is None:
+            raise ValueError("global cmvn requires cmvn_stats=(mean, inv_std)")
+        feats = apply_cmvn(feats, *cmvn_stats)
+        if frame_mask is not None:
+            feats = feats * frame_mask[..., None]
+    elif cmvn != "none":
+        raise ValueError(f"unknown cmvn mode {cmvn!r}")
+    return feats, frame_mask
+
+
+def frame_lengths_from_wav_lengths(
+    wav_lengths: jnp.ndarray, cfg: FrontendConfig
+) -> jnp.ndarray:
+    """Vector version of num_frames for traced lengths."""
+    return jnp.maximum((wav_lengths - cfg.frame_length) // cfg.frame_shift + 1, 0)
