@@ -1,0 +1,176 @@
+"""Recurrent cores: LSTM / BLSTM as XLA-friendly ``lax.scan``.
+
+Replaces the reference's cuDNN LSTM dependency (SURVEY.md section 2b: "cuDNN
+LSTM via PyTorch" -> "XLA-compiled jax.lax.scan LSTM"). TPU-first structure:
+
+- The input projection ``x @ W_x`` for all four gates is hoisted out of the
+  scan and computed for the whole (B, T) sequence as one large matmul that
+  tiles onto the MXU; the scan body only does the (B, H) x (H, 4H) recurrent
+  matmul plus VPU elementwise gate math.
+- Variable length is handled by a per-step mask gate: h/c are updated only
+  where mask=1 and carried otherwise. This makes the *same* scan correct for
+  the backward direction of a BLSTM over a fully flipped padded sequence
+  (pad frames, wherever they sit, never perturb the state), so no
+  gather-based sequence reversal is needed.
+- All shapes static; one compilation per length bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LSTMScan(nn.Module):
+    """Unidirectional LSTM over (B, T, D) -> (B, T, H), masked, via scan."""
+
+    hidden_dim: int
+    reverse: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        b, t, d = x.shape
+        h = self.hidden_dim
+        wx = self.param(
+            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), self.dtype
+        )
+        wh = self.param(
+            "wh", nn.initializers.orthogonal(), (h, 4 * h), self.dtype
+        )
+        bias = self.param("bias", _lstm_bias_init, (4 * h,), self.dtype)
+
+        if mask is None:
+            mask = jnp.ones((b, t), dtype=x.dtype)
+
+        if self.reverse:
+            x = jnp.flip(x, axis=1)
+            mask = jnp.flip(mask, axis=1)
+
+        # One big MXU matmul for all timesteps' input projections.
+        gates_x = (
+            jnp.einsum(
+                "btd,dh->bth", x.astype(self.dtype), wx,
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        )
+
+        def step(carry, inputs):
+            h_prev, c_prev = carry
+            gx_t, m_t = inputs  # (B, 4H), (B,)
+            gh = jnp.matmul(
+                h_prev, wh, preferred_element_type=jnp.float32
+            )
+            i, f, g, o = jnp.split(gx_t + gh, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            m = m_t[:, None]
+            c_out = m * c_new + (1.0 - m) * c_prev
+            h_out = m * h_new + (1.0 - m) * h_prev
+            return (h_out, c_out), h_out * m  # zero outputs at pad frames
+
+        init = (
+            jnp.zeros((b, h), dtype=jnp.float32),
+            jnp.zeros((b, h), dtype=jnp.float32),
+        )
+        (_, _), ys = jax.lax.scan(
+            step,
+            init,
+            (jnp.moveaxis(gates_x, 1, 0), jnp.moveaxis(mask, 1, 0)),
+        )
+        ys = jnp.moveaxis(ys, 0, 1)  # (B, T, H)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys.astype(self.dtype)
+
+
+def _lstm_bias_init(key, shape, dtype):
+    """Zero bias with forget gate at 1.0 (standard trainability trick)."""
+    b = jnp.zeros(shape, dtype)
+    h = shape[0] // 4
+    return b.at[h : 2 * h].set(1.0)
+
+
+class BLSTM(nn.Module):
+    """Bidirectional LSTM: concat of forward and backward scans."""
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        fwd = LSTMScan(self.hidden_dim, reverse=False, dtype=self.dtype, name="fwd")(
+            x, mask
+        )
+        bwd = LSTMScan(self.hidden_dim, reverse=True, dtype=self.dtype, name="bwd")(
+            x, mask
+        )
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class BLSTMP(nn.Module):
+    """Stack of BLSTM layers with per-layer linear projection + tanh
+    (reference: ESPnet BLSTMP, SURVEY.md section 2a "ASR Encoder")."""
+
+    num_layers: int
+    hidden_dim: int
+    proj_dim: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h = x
+        for i in range(self.num_layers):
+            h = BLSTM(self.hidden_dim, dtype=self.dtype, name=f"blstm{i}")(h, mask)
+            h = nn.Dense(
+                self.proj_dim, dtype=self.dtype, name=f"proj{i}"
+            )(h)
+            h = jnp.tanh(h)
+            if self.dropout_rate > 0.0 and not deterministic:
+                h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
+            if mask is not None:
+                h = h * mask[..., None].astype(h.dtype)
+        return h
+
+
+class LSTMCell(nn.Module):
+    """Single-step LSTM cell for the attention decoder's per-token loop."""
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray
+    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        h_prev, c_prev = carry
+        d = x.shape[-1]
+        h = self.hidden_dim
+        wx = self.param(
+            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), self.dtype
+        )
+        wh = self.param("wh", nn.initializers.orthogonal(), (h, 4 * h), self.dtype)
+        bias = self.param("bias", _lstm_bias_init, (4 * h,), self.dtype)
+        gates = (
+            jnp.matmul(x.astype(self.dtype), wx, preferred_element_type=jnp.float32)
+            + jnp.matmul(h_prev, wh, preferred_element_type=jnp.float32)
+            + bias
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
