@@ -1,0 +1,156 @@
+"""Top-level pipeline: waveform -> (enhancer) -> fbank -> hybrid CTC/att ASR.
+
+This is the composition root matching the reference's model wiring (SURVEY.md
+call stack 3.1: enhanced = G(noisy); feats = Fbank(enhanced); losses =
+E2E(feats)). The generator masks the linear power spectrum between the STFT
+and log-mel stages, so the whole chain is one differentiable jitted graph and
+the ASR loss backprops into G.
+
+The discriminator lives *outside* this module (separate params + optimizer;
+see train/steps.py) because the alternating GAN updates optimize disjoint
+parameter sets — keeping D separate lets each step donate and update only its
+own state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from robust_e2e_gan_tpu.config import FrontendConfig, JointConfig
+from robust_e2e_gan_tpu.models.e2e import E2E
+from robust_e2e_gan_tpu.models.enhancement import EnhanceNet
+from robust_e2e_gan_tpu.ops import fbank as fbank_ops
+
+
+def frame_mask_from_wav_lengths(
+    wav: jnp.ndarray, wav_lengths: Optional[jnp.ndarray], cfg: FrontendConfig
+) -> Tuple[int, Optional[jnp.ndarray]]:
+    t = fbank_ops.num_frames(wav.shape[-1], cfg)
+    if wav_lengths is None:
+        return t, None
+    n_valid = fbank_ops.frame_lengths_from_wav_lengths(wav_lengths, cfg)
+    mask = (
+        jnp.arange(t, dtype=jnp.int32)[None, :] < n_valid[:, None]
+    ).astype(jnp.float32)
+    return t, mask
+
+
+class RobustE2E(nn.Module):
+    """Enhancement generator + E2E ASR over raw waveforms."""
+
+    cfg: JointConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.enhancer = EnhanceNet(self.cfg.enhancer, dtype=self.dtype)
+        self.asr = E2E(self.cfg.e2e, dtype=self.dtype)
+
+    # ---------- feature paths ----------
+
+    def noisy_power(
+        self, wav: jnp.ndarray, wav_lengths: Optional[jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        fcfg = self.cfg.e2e.frontend
+        power = fbank_ops.stft_power(wav, fcfg)
+        _, fmask = frame_mask_from_wav_lengths(wav, wav_lengths, fcfg)
+        if fmask is not None:
+            power = power * fmask[..., None]
+        return power, fmask
+
+    def enhance(
+        self, wav: jnp.ndarray, wav_lengths: Optional[jnp.ndarray] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """enhance() entry point (reference API, SURVEY.md L3): returns
+        (enhanced_power, tf_mask, frame_mask)."""
+        power, fmask = self.noisy_power(wav, wav_lengths)
+        enhanced, tf_mask = self.enhancer(power, fmask)
+        return enhanced, tf_mask, fmask
+
+    def features_from_power(
+        self, power: jnp.ndarray, fmask: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
+        fcfg = self.cfg.e2e.frontend
+        feats = fbank_ops.log_mel(power, fcfg)
+        return fbank_ops.utterance_cmvn(feats, fmask)
+
+    def logmel_no_cmvn(self, power: jnp.ndarray) -> jnp.ndarray:
+        """Un-normalized log-mel (discriminator input domain)."""
+        return fbank_ops.log_mel(power, self.cfg.e2e.frontend)
+
+    # ---------- training forwards ----------
+
+    def asr_forward(
+        self,
+        wav: jnp.ndarray,
+        wav_lengths: jnp.ndarray,
+        ys_pad: jnp.ndarray,
+        use_enhancer: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Clean-ASR pretraining forward (SURVEY.md train script (a))."""
+        power, fmask = self.noisy_power(wav, wav_lengths)
+        if use_enhancer:
+            power, _ = self.enhancer(power, fmask)
+        feats = self.features_from_power(power, fmask)
+        flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
+        return self.asr(feats, flens, ys_pad, deterministic=deterministic)
+
+    def joint_forward(
+        self,
+        noisy_wav: jnp.ndarray,
+        clean_wav: jnp.ndarray,
+        wav_lengths: jnp.ndarray,
+        ys_pad: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Joint path: everything the G-step and D-step need, in one forward
+        (SURVEY.md call stack 3.1). Returns ASR losses plus the spectra and
+        log-mel maps for the GAN terms."""
+        noisy_power, fmask = self.noisy_power(noisy_wav, wav_lengths)
+        clean_power, _ = self.noisy_power(clean_wav, wav_lengths)
+        enhanced_power, tf_mask = self.enhancer(noisy_power, fmask)
+
+        feats = self.features_from_power(enhanced_power, fmask)
+        flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
+        asr_out = self.asr(feats, flens, ys_pad, deterministic=deterministic)
+
+        return {
+            **asr_out,
+            "enhanced_power": enhanced_power,
+            "clean_power": clean_power,
+            "noisy_power": noisy_power,
+            "enhanced_logmel": self.logmel_no_cmvn(enhanced_power),
+            "clean_logmel": self.logmel_no_cmvn(clean_power),
+            "frame_mask": fmask,
+            "tf_mask": tf_mask,
+        }
+
+    # ---------- decode-time entry points ----------
+
+    def encode_for_decode(
+        self,
+        wav: jnp.ndarray,
+        wav_lengths: jnp.ndarray,
+        use_enhancer: bool = True,
+    ):
+        """wav -> (enc_hs, enc_mask, hlens, ctc_logits, enc_proj): everything
+        the batched beam search needs, in one jitted call."""
+        power, fmask = self.noisy_power(wav, wav_lengths)
+        if use_enhancer:
+            power, _ = self.enhancer(power, fmask)
+        feats = self.features_from_power(power, fmask)
+        flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
+        hs, hmask, hlens = self.asr.encode(feats, flens)
+        ctc_logits = self.asr.ctc_logits(hs)
+        enc_proj = self.asr.decoder_project_encoder(hs)
+        return hs, hmask, hlens, ctc_logits, enc_proj
+
+    def decoder_step(self, carry, tokens, enc, enc_proj, enc_mask):
+        return self.asr.decoder_step(carry, tokens, enc, enc_proj, enc_mask)
+
+    def decoder_initial_carry(self, batch: int, enc_mask: jnp.ndarray):
+        return self.asr.decoder_initial_carry(batch, enc_mask)
