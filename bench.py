@@ -1,0 +1,89 @@
+"""Headline benchmark: enhanced+decoded utterances/sec/chip.
+
+Measures the full flagship inference pipeline — waveform -> mask-estimating
+enhancer -> differentiable fbank -> VGG/BLSTM encoder -> batched joint
+CTC/attention BEAM SEARCH — jitted as one XLA program on one chip, over
+CHiME-4-shaped utterances (~7 s audio, beam 8). The baseline column is the
+same compiled program run reference-style: batch=1, host-synced per
+utterance (the reference's per-utterance decode loop, SURVEY.md call stack
+3.2). ``vs_baseline`` = batched / batch-1 throughput, the BASELINE.json
+north-star ratio (target >= 10x).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _flagship_config
+from robust_e2e_gan_tpu.config import BeamSearchConfig
+from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
+from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
+from robust_e2e_gan_tpu.pipeline import RobustE2E
+
+
+def _timed(fn, min_seconds=5.0, max_iters=50):
+    """Median-free throughput timing: run until min_seconds elapsed."""
+    fn()  # warm (already compiled)
+    n, t0 = 0, time.perf_counter()
+    while True:
+        fn()
+        n += 1
+        dt = time.perf_counter() - t0
+        if dt >= min_seconds or n >= max_iters:
+            return n, dt
+
+
+def main():
+    vocab = 52
+    jcfg = _flagship_config(vocab)
+    model = RobustE2E(jcfg)
+    bcfg = BeamSearchConfig(beam_size=8, ctc_weight=0.3, max_steps=48)
+
+    rng = np.random.default_rng(0)
+    # ~7 s utterances (CHiME-4-era utterance scale): 58 tokens * 120 ms
+    scfg = SyntheticConfig(vocab_size=vocab, min_tokens=48, max_tokens=58)
+    B = 16
+    batch = make_batch(B, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+
+    params = model.init(
+        jax.random.PRNGKey(0), wav[:2], lens[:2],
+        jnp.asarray(batch["labels"][:2]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+
+    searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=True)
+
+    # --- batched (TPU-native) path ---
+    jax.block_until_ready(searcher(params, wav, lens))  # compile B=16
+    iters, dt = _timed(
+        lambda: jax.block_until_ready(searcher(params, wav, lens))
+    )
+    utt_s = B * iters / dt
+
+    # --- reference-style batch=1 loop (host-driven per-utterance decode) ---
+    jax.block_until_ready(searcher(params, wav[:1], lens[:1]))  # compile B=1
+    n1 = 8
+    t0 = time.perf_counter()
+    for i in range(n1):
+        jax.block_until_ready(searcher(params, wav[i : i + 1], lens[i : i + 1]))
+    utt_s_base = n1 / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "enhanced+decoded utterances/sec/chip",
+        "value": round(utt_s, 2),
+        "unit": "utt/s",
+        "vs_baseline": round(utt_s / utt_s_base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

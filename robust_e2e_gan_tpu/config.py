@@ -138,6 +138,20 @@ class JointConfig:
 
 
 @dataclass(frozen=True)
+class BeamSearchConfig:
+    """Joint CTC/attention one-pass beam search (reference: ESPnet
+    recognize_beam + CTCPrefixScore, SURVEY.md call stack 3.2). Decoded
+    fully on device with static shapes (SURVEY.md section 7 step 5)."""
+
+    beam_size: int = 8
+    ctc_weight: float = 0.3
+    penalty: float = 0.0  # per-token insertion bonus
+    max_steps: int = 64  # static decode-step count (>= longest transcript)
+    min_len: int = 1  # eos masked below this output length
+    length_normalize: bool = False  # normalize final scores by length
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimization + loop settings (reference: Adadelta/Adam, grad-clip 5,
     eps-decay on dev plateau — SURVEY.md section 2a "Train scripts")."""

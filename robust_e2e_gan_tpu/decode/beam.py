@@ -1,0 +1,326 @@
+"""Batched joint CTC/attention beam search, fully on device.
+
+Reference parity: SURVEY.md call stack 3.2 — the reference decodes with a
+host-side, batch=1 Python loop (`Decoder.recognize_beam`) calling per-
+hypothesis attention/LSTM steps and a numpy CTCPrefixScore. That host loop is
+the reference's key performance gap; BASELINE.json config 3 requires batched
+CTC-prefix beam search fully on device.
+
+TPU-first design:
+  * Hypotheses are dense (batch B, beam K) tensors; the decode loop is a
+    single ``lax.scan`` over a static number of steps — one XLA program, no
+    host round-trips.
+  * Each step runs the shared DecoderStep (same params as training, via
+    ``Decoder.step``) on all B*K hypotheses at once: the per-beam attention +
+    LSTM work becomes a handful of large MXU matmuls instead of the
+    reference's tiny per-hypothesis kernels.
+  * CTC prefix scores for ALL V candidate extensions of ALL B*K hypotheses
+    are computed together by one inner ``lax.scan`` over encoder frames
+    (the Watanabe prefix recursion, vectorized to (B, K, V) lanes; see
+    decode/ctc_prefix.py for the scalar formulation and oracle).
+  * Frames past each utterance's length are padded so blank has log-prob 0
+    and labels -inf: padding frames emit blank with probability 1, leaving
+    prefix scores untouched, so one static T serves the whole batch.
+  * Pruning is ``lax.top_k`` over the flattened (K*V) candidate scores;
+    finished hypotheses stay in the beam with frozen scores (their only
+    finite candidate is eos with delta 0). The final step forces eos so
+    every surviving hypothesis is scored with its full-sequence CTC term.
+
+Equivalence with the host reference implementation (decode/host_reference.py)
+is asserted in tests/test_beam.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from robust_e2e_gan_tpu.config import BeamSearchConfig, E2EConfig
+
+LOG_ZERO = -1e10
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, L) best hypothesis, -1 padded
+    lengths: jnp.ndarray  # (B,)
+    scores: jnp.ndarray  # (B,)
+    beam_tokens: jnp.ndarray  # (B, K, L)
+    beam_lengths: jnp.ndarray  # (B, K)
+    beam_scores: jnp.ndarray  # (B, K)
+
+
+def _gather_beam(x: jnp.ndarray, k_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather beam rows: x (B, K, ...) indexed by k_idx (B, K)."""
+    idx = k_idx.reshape(k_idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+
+
+def batched_prefix_scores(
+    lpz: jnp.ndarray,
+    last_tok: jnp.ndarray,
+    lengths: jnp.ndarray,
+    r_n: jnp.ndarray,
+    r_b: jnp.ndarray,
+    blank: int,
+    eos: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CTC prefix scores for every vocab extension of every (batch, beam) hyp.
+
+    The Watanabe prefix recursion of decode/ctc_prefix.py vectorized to
+    (B, K, V) lanes under one ``lax.scan`` over frames; equivalence with the
+    scalar numpy oracle is asserted in tests/test_beam.py.
+
+    Args:
+      lpz: (B, T, V) masked CTC log-probs (blank=0 past each length).
+      last_tok / lengths: (B, K) last emitted token and emitted count.
+      r_n / r_b: (B, K, T) forward variables of each current prefix.
+    Returns:
+      psi (B, K, V) prefix scores; rn_all/rb_all (T, B, K, V) forward
+      variables of each extended prefix (gather the chosen token's slice as
+      the next step's r_n/r_b).
+    """
+    b, t, v = lpz.shape
+    k = last_tok.shape[1]
+    vocab_ids = jnp.arange(v, dtype=jnp.int32)
+
+    r_sum = jnp.logaddexp(r_n, r_b)  # (B, K, T)
+    is_last = (
+        vocab_ids[None, None, None, :] == last_tok[:, :, None, None]
+    ) & (lengths[:, :, None, None] > 0)
+    log_phi = jnp.where(is_last, r_b[..., None], r_sum[..., None])
+    phi0 = jnp.where(lengths[:, :, None] == 0, 0.0, LOG_ZERO).astype(
+        jnp.float32
+    )
+    phi_prev = jnp.concatenate(
+        [jnp.broadcast_to(phi0[..., None], (b, k, 1, v)),
+         log_phi[:, :, :-1, :]],
+        axis=2,
+    )
+
+    def ctc_step(c, inp):
+        rn_p, rb_p, psi = c
+        x_t, phi_t = inp  # (B, V), (B, K, V)
+        xl = x_t[:, None, :]
+        rn = xl + jnp.logaddexp(rn_p, phi_t)
+        rb = x_t[:, None, blank, None] + jnp.logaddexp(rn_p, rb_p)
+        psi = jnp.logaddexp(psi, phi_t + xl)
+        return (rn, rb, psi), (rn, rb)
+
+    z = jnp.full((b, k, v), LOG_ZERO, jnp.float32)
+    (_, _, psi), (rn_all, rb_all) = jax.lax.scan(
+        ctc_step,
+        (z, z, z),
+        (jnp.moveaxis(lpz, 1, 0), jnp.moveaxis(phi_prev, 2, 0)),
+    )
+    # eos candidate = full-sequence CTC score of the prefix itself.
+    psi = psi.at[..., eos].set(r_sum[:, :, -1])
+    psi = psi.at[..., blank].set(LOG_ZERO)
+    return psi, rn_all, rb_all
+
+
+def beam_search_from_encoder(
+    step_fn: Callable,
+    init_carry_fn: Callable,
+    enc: jnp.ndarray,
+    enc_mask: jnp.ndarray,
+    hlens: jnp.ndarray,
+    enc_proj: jnp.ndarray,
+    ctc_logits: jnp.ndarray,
+    ecfg: E2EConfig,
+    bcfg: BeamSearchConfig,
+) -> BeamResult:
+    """Core search given encoder outputs.
+
+    Args:
+      step_fn: (dec_carry, tokens (N,), enc (N,T,E), enc_proj (N,T,A),
+                enc_mask (N,T)) -> (new_carry, (logits (N,V), att (N,T))) —
+        the bound decoder step (training parameters).
+      init_carry_fn: (n: int, enc_mask (N,T)) -> initial decoder carry.
+      enc/enc_mask/hlens/enc_proj/ctc_logits: encoder-side tensors.
+    """
+    b, t, _ = enc.shape
+    v = ctc_logits.shape[-1]
+    k = bcfg.beam_size
+    l = bcfg.max_steps
+    blank, eos = ecfg.blank_id, ecfg.eos_id
+    cw = bcfg.ctc_weight
+
+    # --- masked CTC log-probs with the blank-padding trick.
+    lpz = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
+    frame_valid = (
+        jnp.arange(t, dtype=jnp.int32)[None, :] < hlens[:, None]
+    )  # (B, T)
+    pad_row = jnp.full((v,), LOG_ZERO, jnp.float32).at[blank].set(0.0)
+    lpz = jnp.where(frame_valid[..., None], lpz, pad_row[None, None, :])
+
+    # --- beam-flattened encoder tensors: index n = b * K + k.
+    enc_k = jnp.repeat(enc, k, axis=0)
+    enc_proj_k = jnp.repeat(enc_proj, k, axis=0)
+    emask_k = jnp.repeat(enc_mask, k, axis=0)
+
+    dec_carry = init_carry_fn(b * k, emask_k)
+
+    # --- CTC prefix state of the empty prefix: all-blank paths.
+    rb0 = jnp.cumsum(lpz[:, :, blank], axis=1)  # (B, T)
+    r_b = jnp.broadcast_to(rb0[:, None, :], (b, k, t))
+    r_n = jnp.full((b, k, t), LOG_ZERO, jnp.float32)
+
+    scores = jnp.full((b, k), LOG_ZERO, jnp.float32).at[:, 0].set(0.0)
+    tokens = jnp.full((b, k, l), -1, jnp.int32)
+    lengths = jnp.zeros((b, k), jnp.int32)
+    finished = jnp.zeros((b, k), bool)
+    last_tok = jnp.full((b, k), ecfg.sos_id, jnp.int32)
+    psi_g = jnp.zeros((b, k), jnp.float32)
+
+    vocab_ids = jnp.arange(v, dtype=jnp.int32)
+
+    def decode_step(carry, i):
+        (scores, tokens, lengths, finished, last_tok, psi_g, r_n, r_b,
+         dec_carry) = carry
+
+        # --- attention decoder step on all B*K hypotheses at once.
+        new_dec_carry, (logits, _) = step_fn(
+            dec_carry, last_tok.reshape(b * k), enc_k, enc_proj_k, emask_k
+        )
+        att_lp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(b, k, v)
+
+        # --- batched CTC prefix recursion over frames.
+        psi, rn_all, rb_all = batched_prefix_scores(
+            lpz, last_tok, lengths, r_n, r_b, blank, eos
+        )
+
+        # --- joint candidate scores.
+        cand = (
+            scores[..., None]
+            + (1.0 - cw) * att_lp
+            + cw * (psi - psi_g[..., None])
+            + bcfg.penalty
+        )
+        # blank is never a label candidate; eos masked below min length.
+        cand = cand.at[..., blank].set(2.0 * LOG_ZERO)
+        cand = cand.at[..., eos].set(
+            jnp.where(lengths < bcfg.min_len, 2.0 * LOG_ZERO, cand[..., eos])
+        )
+        # finished hypotheses: frozen, eos-only continuation.
+        cand_fin = jnp.full((b, k, v), 2.0 * LOG_ZERO).at[..., eos].set(scores)
+        cand = jnp.where(finished[..., None], cand_fin, cand)
+        # last step: force eos so every hypothesis is fully scored.
+        force_eos = (i == l - 1) & (vocab_ids[None, None, :] != eos)
+        cand = jnp.where(force_eos & ~finished[..., None], 2.0 * LOG_ZERO, cand)
+
+        # --- prune to K over all K*V candidates.
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
+        k_idx = (top_idx // v).astype(jnp.int32)
+        tok = (top_idx % v).astype(jnp.int32)
+
+        tokens = _gather_beam(tokens, k_idx)
+        lengths = _gather_beam(lengths, k_idx)
+        fin_old = _gather_beam(finished, k_idx)
+        psi_old = _gather_beam(psi_g, k_idx)
+        psi_sel = jnp.take_along_axis(
+            _gather_beam(psi, k_idx), tok[..., None], axis=-1
+        )[..., 0]
+
+        append = (~fin_old) & (tok != eos)
+        tokens = tokens.at[:, :, i].set(jnp.where(append, tok, -1))
+        lengths = lengths + append.astype(jnp.int32)
+        finished = fin_old | (tok == eos)
+        psi_g = jnp.where(append, psi_sel, psi_old)
+
+        # CTC forward state of the selected extensions.
+        rn_bk = jnp.moveaxis(rn_all, 0, 2)  # (B, K, T, V)
+        rb_bk = jnp.moveaxis(rb_all, 0, 2)
+        rn_sel = jnp.take_along_axis(
+            _gather_beam(rn_bk, k_idx), tok[:, :, None, None], axis=-1
+        )[..., 0]
+        rb_sel = jnp.take_along_axis(
+            _gather_beam(rb_bk, k_idx), tok[:, :, None, None], axis=-1
+        )[..., 0]
+        r_n = jnp.where(append[..., None], rn_sel, _gather_beam(r_n, k_idx))
+        r_b = jnp.where(append[..., None], rb_sel, _gather_beam(r_b, k_idx))
+
+        # Decoder carry: permute the (B*K)-flattened hidden state by k_idx.
+        def permute(x):
+            if x.shape[0] == b * k:  # (B*K, ...) e.g. attention weights
+                xs = x.reshape((b, k) + x.shape[1:])
+                idx = k_idx.reshape((b, k) + (1,) * (xs.ndim - 2))
+                xs = jnp.take_along_axis(xs, idx, axis=1)
+                return xs.reshape(x.shape)
+            # (layers, B*K, D) stacked LSTM state
+            assert x.ndim == 3 and x.shape[1] == b * k, x.shape
+            xs = x.reshape((x.shape[0], b, k, x.shape[-1]))
+            xs = jnp.take_along_axis(xs, k_idx[None, :, :, None], axis=2)
+            return xs.reshape(x.shape)
+
+        dec_carry = jax.tree_util.tree_map(permute, new_dec_carry)
+        last_tok = tok
+
+        new_carry = (top_scores, tokens, lengths, finished, last_tok, psi_g,
+                     r_n, r_b, dec_carry)
+        return new_carry, None
+
+    carry0 = (scores, tokens, lengths, finished, last_tok, psi_g, r_n, r_b,
+              dec_carry)
+    carry, _ = jax.lax.scan(
+        decode_step, carry0, jnp.arange(l, dtype=jnp.int32)
+    )
+    scores, tokens, lengths = carry[0], carry[1], carry[2]
+
+    rank = scores
+    if bcfg.length_normalize:
+        rank = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    best = jnp.argmax(rank, axis=1)
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1
+    )[:, 0]
+    best_lengths = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return BeamResult(
+        best_tokens, best_lengths, best_scores, tokens, lengths, scores
+    )
+
+
+def make_beam_searcher(
+    model,
+    ecfg: E2EConfig,
+    bcfg: BeamSearchConfig,
+    use_enhancer: bool = True,
+) -> Callable:
+    """Bind a RobustE2E model into a jitted wav -> BeamResult function.
+
+    Replaces the reference's recognize() entry point (SURVEY.md L3): one
+    compiled program runs enhancer -> fbank -> encoder -> batched joint
+    CTC/attention beam search for a whole batch of utterances.
+    """
+    from robust_e2e_gan_tpu.pipeline import RobustE2E
+
+    def search(params, wav, wav_lengths):
+        variables = {"params": params}
+        hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+            variables, wav, wav_lengths, use_enhancer,
+            method=RobustE2E.encode_for_decode,
+        )
+
+        def step_fn(carry, toks, enc, enc_proj_, emask):
+            return model.apply(
+                variables, carry, toks, enc, enc_proj_, emask,
+                method=RobustE2E.decoder_step,
+            )
+
+        def init_fn(n, emask):
+            return model.apply(
+                variables, n, emask,
+                method=RobustE2E.decoder_initial_carry,
+            )
+
+        return beam_search_from_encoder(
+            step_fn, init_fn, hs, hmask, hlens, enc_proj, ctc_logits,
+            ecfg, bcfg,
+        )
+
+    return jax.jit(search)

@@ -1,0 +1,140 @@
+"""Device-mesh sharding: data-parallel batches + an exposed model axis.
+
+Reference parity: SURVEY.md section 2c — the reference is single-process,
+single-GPU with no distributed stack at all; the TPU-native plan is first-class
+data parallelism via ``jax.sharding`` over a ``Mesh('data', 'model')`` with XLA
+placing the gradient all-reduces on ICI (the scaling-book recipe: pick a mesh,
+annotate shardings, let the compiler insert collectives). No NCCL/MPI-style
+hand-written communication exists anywhere in this framework.
+
+Design:
+  * ``data`` axis: batches are sharded on their leading dimension; every jitted
+    train/eval step from train/steps.py runs unchanged — jit sees sharded
+    inputs, keeps the loss a *global*-batch mean, and emits a ``psum`` for the
+    gradients.
+  * ``model`` axis: exposed per SURVEY.md section 2c ("design for it, don't
+    build first"). ``partition_rule`` shards large 2-D+ parameter matrices
+    column-wise over ``model`` so encoder/decoder matmuls *can* tensor-shard;
+    with ``model=1`` (the default) this degenerates to full replication.
+
+Everything here is shape-driven: parameter and optimizer-state pytrees are
+sharded leaf-by-leaf from array shapes alone, so optax states (whose leaves
+mirror parameter shapes) need no structural matching.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Any] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    With ``n_data=None`` all remaining devices go to the data axis. On a
+    v5e-8 slice the default is an 8-way data mesh; tests use the 8-device
+    virtual CPU platform (see tests/conftest.py).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devs) % n_model:
+            raise ValueError(
+                f"{len(devs)} devices not divisible by model={n_model}"
+            )
+        n_data = len(devs) // n_model
+    need = n_data * n_model
+    if need > len(devs):
+        raise ValueError(f"mesh ({n_data},{n_model}) needs {need} devices, "
+                         f"have {len(devs)}")
+    grid = np.asarray(devs[:need]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the data axis (per-device batch shards)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch onto the mesh, sharded on the batch dimension.
+
+    The leading dim must divide by the data-axis size (the input pipeline
+    guarantees this: global batch = per-device batch x data-axis size).
+    """
+    sh = batch_sharding(mesh)
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0 or x.shape[0] % n_data:
+            raise ValueError(
+                f"batch dim {x.shape} not divisible by data axis {n_data}"
+            )
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def partition_rule(
+    shape: Tuple[int, ...], n_model: int, min_shard_dim: int = 512
+) -> P:
+    """Shape-based tensor-parallel rule for a parameter/optimizer leaf.
+
+    2-D+ weights whose last dim is large and divisible by the model axis are
+    sharded column-wise (output-feature sharding: each model shard computes a
+    slice of the matmul output; XLA all-gathers where the next op needs the
+    full width). Everything else replicates. With n_model=1 this is P().
+    """
+    if (
+        n_model > 1
+        and len(shape) >= 2
+        and shape[-1] >= min_shard_dim
+        and shape[-1] % n_model == 0
+    ):
+        return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+    return P()
+
+
+def shard_params(tree: Any, mesh: Mesh, min_shard_dim: int = 512) -> Any:
+    """Place a parameter-shaped pytree (params or optimizer state) onto the
+    mesh using ``partition_rule`` leaf-by-leaf. Scalars replicate."""
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def put(x):
+        x = jnp.asarray(x)
+        spec = partition_rule(x.shape, n_model)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_train_state(state: Any, mesh: Mesh, min_shard_dim: int = 512) -> Any:
+    """Shard a TrainState: params/opt leaves by shape rule, rest replicated.
+
+    Works on any pytree of arrays — the shape rule handles every leaf, so the
+    optax state (mirroring param shapes) and counters (scalars) fall out
+    naturally.
+    """
+    return shard_params(state, mesh, min_shard_dim)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} % data axis {n} != 0")
+    return global_batch // n

@@ -1,0 +1,201 @@
+"""Beam-search tests: batched CTC prefix recursion vs the numpy oracle, and
+device search vs the host reference implementation (SURVEY.md section 7
+step 5: 'beam-search equivalence vs a slow host reference')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from robust_e2e_gan_tpu.config import (
+    AttentionConfig,
+    BeamSearchConfig,
+    DecoderConfig,
+    DiscriminatorConfig,
+    E2EConfig,
+    EncoderConfig,
+    EnhancerConfig,
+    FrontendConfig,
+    JointConfig,
+)
+from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
+from robust_e2e_gan_tpu.decode.beam import batched_prefix_scores, make_beam_searcher
+from robust_e2e_gan_tpu.decode.ctc_prefix import CTCPrefixScore, LOG_ZERO
+from robust_e2e_gan_tpu.decode.host_reference import recognize_beam_host
+from robust_e2e_gan_tpu.pipeline import RobustE2E
+
+BLANK, EOS = 0, 1
+
+
+def test_batched_prefix_scores_match_numpy(rng):
+    """(B, K, V) lanes of the scan == scalar numpy recursion, all prefixes."""
+    b, k, t, v = 2, 3, 12, 6
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    lpz = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+    prefixes = [
+        [[], [3], [3, 3]],
+        [[2], [4, 2, 4], [5]],
+    ]
+    r_n = np.full((b, k, t), LOG_ZERO, np.float32)
+    r_b = np.zeros((b, k, t), np.float32)
+    last = np.zeros((b, k), np.int32)
+    lens = np.zeros((b, k), np.int32)
+    psi_ref = np.zeros((b, k, v))
+
+    for bi in range(b):
+        scorer = CTCPrefixScore(lpz[bi].astype(np.float64), BLANK, EOS)
+        for ki, y in enumerate(prefixes[bi]):
+            r = scorer.initial_state()
+            yy = [EOS]  # sos placeholder
+            for c in y:
+                _, rall = scorer(yy, r)
+                r = rall[:, :, c]
+                yy = yy + [c]
+            psi, _ = scorer(yy, r)
+            r_n[bi, ki] = r[:, 0]
+            r_b[bi, ki] = r[:, 1]
+            last[bi, ki] = y[-1] if y else EOS
+            lens[bi, ki] = len(y)
+            psi_ref[bi, ki] = psi
+
+    psi, rn_all, rb_all = batched_prefix_scores(
+        jnp.asarray(lpz), jnp.asarray(last), jnp.asarray(lens),
+        jnp.asarray(r_n), jnp.asarray(r_b), BLANK, EOS,
+    )
+    psi = np.asarray(psi)
+    # blank column is masked to LOG_ZERO on both sides
+    psi_ref[..., BLANK] = LOG_ZERO
+    np.testing.assert_allclose(psi, psi_ref, rtol=1e-4, atol=1e-4)
+
+    # extended-prefix forward variables also match: extend prefix [3] by 4
+    scorer = CTCPrefixScore(lpz[0].astype(np.float64), BLANK, EOS)
+    r = scorer.initial_state()
+    _, rall = scorer([EOS], r)
+    r3 = rall[:, :, 3]
+    _, rall2 = scorer([EOS, 3], r3)
+    np.testing.assert_allclose(
+        np.asarray(rn_all)[:, 0, 1, 4], rall2[:, 0, 4], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb_all)[:, 0, 1, 4], rall2[:, 1, 4], rtol=1e-4, atol=1e-4
+    )
+
+
+VOCAB = 12
+JCFG = JointConfig(
+    e2e=E2EConfig(
+        frontend=FrontendConfig(n_mels=24),
+        encoder=EncoderConfig(input_dim=24, vgg_channels=(4, 8), num_layers=1,
+                              hidden_dim=32, proj_dim=32),
+        attention=AttentionConfig(dim=24, conv_channels=4, conv_kernel=11),
+        decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=16, hidden_dim=32),
+    ),
+    enhancer=EnhancerConfig(input_dim=257, num_layers=1, hidden_dim=32),
+    discriminator=DiscriminatorConfig(input_dim=24, channels=(4, 8)),
+)
+
+
+def test_device_beam_matches_host_reference():
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(3)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batch = make_batch(3, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+
+    params = model.init(
+        jax.random.PRNGKey(7), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    variables = {"params": params}
+
+    bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=8)
+    searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+    result = searcher(params, wav, lens)
+
+    hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+        variables, wav, lens, True, method=RobustE2E.encode_for_decode,
+    )
+    lpz = np.asarray(jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1))
+
+    def step_fn(carry, toks, enc, proj, emask):
+        return model.apply(
+            variables, carry, toks, enc, proj, emask,
+            method=RobustE2E.decoder_step,
+        )
+
+    def init_fn(n, emask):
+        return model.apply(
+            variables, n, emask, method=RobustE2E.decoder_initial_carry,
+        )
+
+    for i in range(3):
+        toks, score = recognize_beam_host(
+            step_fn, init_fn, np.asarray(hs[i]), np.asarray(hmask[i]),
+            int(hlens[i]), np.asarray(enc_proj[i]), lpz[i], JCFG.e2e, bcfg,
+        )
+        dev_toks = [
+            int(x) for x in np.asarray(result.tokens[i]) if x != -1
+        ][: int(result.lengths[i])]
+        assert dev_toks == toks, (i, dev_toks, toks)
+        np.testing.assert_allclose(
+            float(result.scores[i]), score, rtol=1e-3, atol=1e-3
+        )
+
+
+def test_beam_finds_trained_transcript():
+    """Sanity: with CTC logits hand-built to spell a transcript, the joint
+    search (ctc_weight=1 ignores the untrained attention) recovers it."""
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(0)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batch = make_batch(2, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(0), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=False, method=RobustE2E.asr_forward,
+    )["params"]
+
+    # overwrite the CTC head so logits strongly spell the labels
+    hs, hmask, hlens, _, enc_proj = model.apply(
+        {"params": params}, wav, lens, False,
+        method=RobustE2E.encode_for_decode,
+    )
+    t = hs.shape[1]
+    labels = [
+        [tk for tk in row if tk != -1] for row in np.asarray(batch["labels"])
+    ]
+    logits = np.full((2, t, VOCAB), -10.0, np.float32)
+    logits[..., BLANK] = 0.0
+    for bi, lab in enumerate(labels):
+        hl = int(hlens[bi])
+        # spread tokens over valid frames, blanks between
+        for j, tk in enumerate(lab):
+            pos = min(1 + 2 * j, hl - 1)
+            logits[bi, pos] = -10.0
+            logits[bi, pos, tk] = 10.0
+
+    from robust_e2e_gan_tpu.decode.beam import beam_search_from_encoder
+
+    variables = {"params": params}
+
+    def step_fn(carry, toks, enc, proj, emask):
+        return model.apply(
+            variables, carry, toks, enc, proj, emask,
+            method=RobustE2E.decoder_step,
+        )
+
+    def init_fn(n, emask):
+        return model.apply(
+            variables, n, emask, method=RobustE2E.decoder_initial_carry,
+        )
+
+    bcfg = BeamSearchConfig(beam_size=4, ctc_weight=1.0, max_steps=8)
+    res = beam_search_from_encoder(
+        step_fn, init_fn, hs, hmask, hlens, enc_proj,
+        jnp.asarray(logits), JCFG.e2e, bcfg,
+    )
+    for bi, lab in enumerate(labels):
+        got = [int(x) for x in np.asarray(res.tokens[bi]) if x != -1]
+        assert got == lab, (bi, got, lab)
