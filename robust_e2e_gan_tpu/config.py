@@ -177,6 +177,9 @@ class TrainConfig:
 
 def to_dict(cfg: Any) -> Dict[str, Any]:
     """Recursively convert a config dataclass to a plain dict."""
+    if isinstance(cfg, dict):
+        return {k: to_dict(v) if dataclasses.is_dataclass(v) else v
+                for k, v in cfg.items()}
     return dataclasses.asdict(cfg)
 
 
@@ -185,21 +188,6 @@ def save_config(cfg: Any, path: str) -> None:
     namespace into the checkpoint dir; SURVEY.md section 5 Config row)."""
     with open(path, "w") as f:
         json.dump(to_dict(cfg), f, indent=2, default=str)
-
-
-def _build(cls, data: Dict[str, Any]):
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in data:
-            continue
-        v = data[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-            kwargs[f.name] = _build(f.type, v)
-        elif isinstance(v, list):
-            kwargs[f.name] = tuple(v)
-        else:
-            kwargs[f.name] = v
-    return cls(**kwargs)
 
 
 _NESTED = {
@@ -213,23 +201,23 @@ _NESTED = {
 }
 
 
+def from_dict(cls, data: Dict[str, Any]):
+    """Build a config dataclass tree from a plain dict."""
+    kwargs = {}
+    for fld in dataclasses.fields(cls):
+        if fld.name not in data:
+            continue
+        v = data[fld.name]
+        if fld.name in _NESTED and isinstance(v, dict):
+            kwargs[fld.name] = from_dict(_NESTED[fld.name], v)
+        elif isinstance(v, list):
+            kwargs[fld.name] = tuple(v)
+        else:
+            kwargs[fld.name] = v
+    return cls(**kwargs)
+
+
 def load_config(cls, path: str):
     """Load a config dataclass tree from JSON."""
     with open(path) as f:
-        data = json.load(f)
-
-    def build(c, d):
-        kwargs = {}
-        for fld in dataclasses.fields(c):
-            if fld.name not in d:
-                continue
-            v = d[fld.name]
-            if fld.name in _NESTED and isinstance(v, dict):
-                kwargs[fld.name] = build(_NESTED[fld.name], v)
-            elif isinstance(v, list):
-                kwargs[fld.name] = tuple(v)
-            else:
-                kwargs[fld.name] = v
-        return c(**kwargs)
-
-    return build(cls, data)
+        return from_dict(cls, json.load(f))

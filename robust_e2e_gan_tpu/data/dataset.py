@@ -1,0 +1,298 @@
+"""Dataset/loader: paired noisy/clean utterances -> padded static-shape batches.
+
+Reference parity: SURVEY.md section 2a "Dataset/Loader" — pair noisy and
+clean utterances (CHiME-4 multi-condition), sort/bucket by length, pad to
+batch, map text -> token ids via a char dict, label padding ignore_id -1
+(the ESPnet converter convention). Call stack 3.5: read feats/text ->
+build char dict -> sort by length -> batch bins -> collate.
+
+TPU-first re-design:
+  * The loader yields RAW WAVEFORMS (the differentiable frontend runs on
+    device), padded to a small static set of length buckets
+    (SURVEY.md section 5 "Long-context" row: bucketed padding to static
+    lengths so XLA compiles once per bucket, no recompilation storms).
+  * Double-buffered background prefetch thread overlaps host I/O + padding
+    with device steps (the >=10x throughput target demands it, SURVEY.md
+    section 7 "Hard parts").
+  * Sources: native npz/jsonl manifests, or Kaldi scp/ark via
+    data/kaldi_io.py so existing Kaldi-prepped corpora drop in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from robust_e2e_gan_tpu.data import kaldi_io
+
+
+class CharTokenizer:
+    """Character dictionary: blank=0, sos/eos=1, unk=2, chars from 3.
+
+    The reference builds its char dict from the training transcripts
+    (SURVEY.md call stack 3.5); ids 0/1 match E2EConfig.blank_id/sos_id.
+    """
+
+    BLANK, SOS_EOS, UNK = 0, 1, 2
+    _SPECIALS = ["<blank>", "<sos/eos>", "<unk>"]
+
+    def __init__(self, chars: Sequence[str]):
+        self.chars = list(chars)
+        self._to_id = {c: i + 3 for i, c in enumerate(self.chars)}
+
+    @classmethod
+    def from_texts(cls, texts: Sequence[str]) -> "CharTokenizer":
+        charset = sorted({c for t in texts for c in t})
+        return cls(charset)
+
+    @property
+    def vocab_size(self) -> int:
+        return 3 + len(self.chars)
+
+    def encode(self, text: str) -> List[int]:
+        return [self._to_id.get(c, self.UNK) for c in text]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i >= 3:
+                out.append(self.chars[i - 3])
+            elif i == self.UNK:
+                out.append("<unk>")
+        return "".join(out)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"chars": self.chars}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "CharTokenizer":
+        with open(path) as f:
+            return cls(json.load(f)["chars"])
+
+
+@dataclass
+class Utterance:
+    utt_id: str
+    text: str
+    n_samples: int
+    # exactly one of (noisy_path, noisy_ark) is set per source kind
+    noisy_path: Optional[str] = None
+    clean_path: Optional[str] = None
+    noisy_ark: Optional[Tuple[str, int]] = None
+    clean_ark: Optional[Tuple[str, int]] = None
+
+    def load(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.noisy_path is not None:
+            noisy = np.load(self.noisy_path).astype(np.float32).reshape(-1)
+            clean = (
+                np.load(self.clean_path).astype(np.float32).reshape(-1)
+                if self.clean_path else noisy
+            )
+        else:
+            noisy = kaldi_io.read_mat_at(*self.noisy_ark).reshape(-1)
+            clean = (
+                kaldi_io.read_mat_at(*self.clean_ark).reshape(-1)
+                if self.clean_ark else noisy
+            )
+        return noisy.astype(np.float32), clean.astype(np.float32)
+
+
+class AudioTextDataset:
+    """Paired (noisy, clean, transcript) utterances from disk."""
+
+    def __init__(self, utts: List[Utterance], tokenizer: CharTokenizer):
+        self.utts = utts
+        self.tokenizer = tokenizer
+
+    def __len__(self) -> int:
+        return len(self.utts)
+
+    @classmethod
+    def from_jsonl(
+        cls, manifest_path: str, tokenizer: Optional[CharTokenizer] = None
+    ) -> "AudioTextDataset":
+        """jsonl manifest: one {"utt_id","noisy","clean","text","n_samples"}
+        per line; "noisy"/"clean" are .npy paths (clean optional)."""
+        root = os.path.dirname(os.path.abspath(manifest_path))
+
+        def resolve(p):
+            return p if os.path.isabs(p) else os.path.join(root, p)
+
+        utts = []
+        with open(manifest_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                utts.append(Utterance(
+                    utt_id=d["utt_id"],
+                    text=d["text"],
+                    n_samples=int(d["n_samples"]),
+                    noisy_path=resolve(d["noisy"]),
+                    clean_path=resolve(d["clean"]) if d.get("clean") else None,
+                ))
+        if tokenizer is None:
+            tokenizer = CharTokenizer.from_texts([u.text for u in utts])
+        return cls(utts, tokenizer)
+
+    @classmethod
+    def from_kaldi(
+        cls,
+        noisy_scp: str,
+        text_path: str,
+        clean_scp: Optional[str] = None,
+        tokenizer: Optional[CharTokenizer] = None,
+    ) -> "AudioTextDataset":
+        """Kaldi-format source: scp files of waveform vectors + `text`.
+
+        The reference consumed Kaldi-prepped CHiME-4 dirs (SURVEY.md L0/L1);
+        here the scp entries point at float vectors (one per utterance).
+        """
+        noisy_idx = kaldi_io.read_scp_index(noisy_scp)
+        clean_idx = kaldi_io.read_scp_index(clean_scp) if clean_scp else {}
+        texts: Dict[str, str] = {}
+        with open(text_path) as f:
+            for line in f:
+                parts = line.strip().split(None, 1)
+                if len(parts) == 2:
+                    texts[parts[0]] = parts[1]
+        utts = []
+        for key, (ark, off) in noisy_idx.items():
+            if key not in texts:
+                continue
+            n = kaldi_io.read_mat_at(ark, off).size
+            utts.append(Utterance(
+                utt_id=key, text=texts[key], n_samples=n,
+                noisy_ark=(ark, off), clean_ark=clean_idx.get(key),
+            ))
+        if tokenizer is None:
+            tokenizer = CharTokenizer.from_texts([u.text for u in utts])
+        return cls(utts, tokenizer)
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class BucketBatcher:
+    """Length-sorted, bucket-padded batches with static shapes.
+
+    Sorts utterances by length (the reference's sort/bucket strategy, call
+    stack 3.5), groups consecutive runs into batches, pads each batch's
+    waveforms to its length bucket and labels to max_label_len. Each epoch
+    shuffles batch ORDER (not contents), like the reference's epoch loop.
+    """
+
+    def __init__(
+        self,
+        dataset: AudioTextDataset,
+        batch_size: int,
+        length_buckets: Sequence[int] = (32000, 64000, 112000, 160000),
+        max_label_len: int = 128,
+        ignore_id: int = -1,
+        seed: int = 0,
+        drop_overlong: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.buckets = sorted(length_buckets)
+        self.max_label_len = max_label_len
+        self.ignore_id = ignore_id
+        self.rng = np.random.default_rng(seed)
+        order = sorted(
+            range(len(dataset)), key=lambda i: dataset.utts[i].n_samples
+        )
+        if drop_overlong:
+            order = [
+                i for i in order
+                if dataset.utts[i].n_samples <= self.buckets[-1]
+                and len(dataset.tokenizer.encode(dataset.utts[i].text))
+                <= max_label_len
+            ]
+        self.batches = [
+            order[i : i + batch_size]
+            for i in range(0, len(order), batch_size)
+        ]
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def _collate(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        utts = [self.ds.utts[i] for i in idxs]
+        pad_to = _bucket_for(
+            max(u.n_samples for u in utts), self.buckets
+        )
+        b = len(utts)
+        noisy = np.zeros((b, pad_to), np.float32)
+        clean = np.zeros((b, pad_to), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        labels = np.full((b, self.max_label_len), self.ignore_id, np.int32)
+        ids = []
+        for j, u in enumerate(utts):
+            nw, cw = u.load()
+            n = min(len(nw), pad_to)
+            noisy[j, :n] = nw[:n]
+            clean[j, :n] = cw[:n]
+            lengths[j] = n
+            toks = self.ds.tokenizer.encode(u.text)[: self.max_label_len]
+            labels[j, : len(toks)] = toks
+            ids.append(u.utt_id)
+        return {
+            "noisy_wav": noisy,
+            "clean_wav": clean,
+            "wav_lengths": lengths,
+            "labels": labels,
+            "utt_ids": ids,
+        }
+
+    def epoch(self, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(range(len(self.batches)))
+        if shuffle:
+            self.rng.shuffle(order)
+        for bi in order:
+            yield self._collate(self.batches[bi])
+
+
+class Prefetcher:
+    """Background-thread prefetch: overlap host collation with device steps."""
+
+    _DONE = object()
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.err: Optional[BaseException] = None
+
+        def work():
+            try:
+                for item in it:
+                    self.q.put(item)
+            except BaseException as e:  # surfaced on next()
+                self.err = e
+            finally:
+                self.q.put(self._DONE)
+
+        self.t = threading.Thread(target=work, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._DONE:
+            if self.err is not None:
+                raise self.err
+            raise StopIteration
+        return item

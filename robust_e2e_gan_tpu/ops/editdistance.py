@@ -48,11 +48,18 @@ def wer_details(
     """
     if len(refs) != len(hyps):
         raise ValueError("refs and hyps must have equal length")
-    errs = 0
-    total = 0
-    for r, h in zip(refs, hyps):
-        errs += edit_distance(r, h)
-        total += len(r)
+    total = sum(len(r) for r in refs)
+    errs = None
+    try:
+        from robust_e2e_gan_tpu.utils.native import native_edit_distance_corpus
+
+        res = native_edit_distance_corpus(refs, hyps)
+        if res is not None:
+            errs = res[1]
+    except Exception:
+        pass
+    if errs is None:
+        errs = sum(edit_distance(r, h) for r, h in zip(refs, hyps))
     return {
         "errors": float(errs),
         "ref_tokens": float(total),

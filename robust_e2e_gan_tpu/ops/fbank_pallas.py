@@ -1,0 +1,205 @@
+"""Fused Pallas TPU kernel: framing -> STFT -> log-mel -> CMVN in one pass.
+
+BASELINE.json north-star: "Fuse the hot feature transforms — framing, STFT,
+log-mel fbank, CMVN — into a single Pallas kernel". The reference computed
+features offline with Kaldi C++ binaries (SURVEY.md section 2b); this kernel
+produces the same features on-chip in one HBM round-trip: the waveform is
+read once, every intermediate (frames, spectra, mel energies) lives only in
+VMEM, and normalized log-mel features are the only HBM write.
+
+Kernel design (see /opt/skills/guides/pallas_guide.md):
+  * The host reshapes the padded waveform to (B, S, shift) rows. Because
+    frame_length = 2*shift + rem (400 = 2*160 + 80 at 16 kHz defaults),
+    frame t is exactly rows [t], [t+1] and the first ``rem`` samples of row
+    [t+2] — so framing needs NO gather and NO lane-unaligned concat.
+  * DC-removal, pre-emphasis and the analysis window are linear maps on the
+    frame, so they are folded into the DFT bases on the host (numpy,
+    float64): M = A_dc^T P_pre^T diag(w) C. The per-frame segment structure
+    then turns windowed-DFT into THREE (TILE_T, shift) @ (shift, n_freqs)
+    MXU matmuls per cos/sin basis — matmul distributes over the segments.
+  * Grid is (B,): one program per utterance holds the whole (S, shift) row
+    block and the (T_pad, n_mels) output in VMEM, loops over frame tiles
+    (fori_loop, static trip count), computes power -> mel -> log per tile,
+    and finishes with exact two-pass masked CMVN over the VMEM-resident
+    features (same math as ops.fbank.utterance_cmvn, parity-tested).
+  * Valid frame counts arrive via PrefetchScalarGridSpec scalar prefetch;
+    pad frames are zeroed before the stats so the CMVN matches the masked
+    pure-JAX reference bit-for-bit within float tolerance.
+
+The kernel is forward-only (inference/decode paths). Training uses the
+pure-JAX chain in ops/fbank.py — the joint objective needs the enhancer
+inserted *between* STFT and mel anyway (pipeline.py), and XLA already fuses
+that split chain well; the fused kernel exists for the serving path where
+feature extraction is a measurable fraction of decode time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from robust_e2e_gan_tpu.config import FrontendConfig
+from robust_e2e_gan_tpu.ops import fbank as fbank_ref
+
+TILE_T = 64  # frames per inner tile (sublane-aligned)
+
+
+@functools.lru_cache(maxsize=4)
+def _combined_bases(cfg: FrontendConfig) -> Tuple[np.ndarray, ...]:
+    """Fold DC-removal, pre-emphasis and window into the DFT bases.
+
+    Returns (cos_segs, sin_segs, fb): cos/sin as (n_seg, shift, n_freqs)
+    stacked per frame segment, fb as (n_freqs, n_mels).
+    """
+    L, shift = cfg.frame_length, cfg.frame_shift
+    n_seg = -(-L // shift)  # frames span this many shift-rows
+    w = fbank_ref.window_fn(cfg).astype(np.float64)
+
+    # frame' = diag(w) @ P @ A @ frame   (applied left-to-right: DC,
+    # preemph, window — the order of ops.fbank._preprocess_frames)
+    A = np.eye(L) - (np.ones((L, L)) / L if cfg.remove_dc else 0.0)
+    P = np.eye(L)
+    if cfg.preemphasis > 0.0:
+        P = P - cfg.preemphasis * np.diag(np.ones(L - 1), k=-1)
+        P[0, 0] -= cfg.preemphasis  # x'[0] = x[0] - p*x[0]
+    T_pre = np.diag(w) @ P @ A  # (L, L)
+
+    cos_m, sin_m = fbank_ref.dft_matrices(cfg.n_fft)
+    M_cos = T_pre.T @ cos_m[:L].astype(np.float64)  # (L, n_freqs)
+    M_sin = T_pre.T @ sin_m[:L].astype(np.float64)
+
+    def segs(M):
+        out = np.zeros((n_seg, shift, M.shape[1]), np.float32)
+        for s in range(n_seg):
+            rows = M[s * shift : (s + 1) * shift]
+            out[s, : rows.shape[0]] = rows
+        return out
+
+    fb = fbank_ref.mel_filterbank(cfg)  # (n_freqs, n_mels)
+    return segs(M_cos), segs(M_sin), fb.astype(np.float32)
+
+
+def _kernel(cfg: FrontendConfig, t_pad: int, norm_var: bool, eps: float):
+    n_seg = -(-cfg.frame_length // cfg.frame_shift)
+    n_tiles = t_pad // TILE_T
+
+    def kernel(nvalid_ref, wav_ref, cos_ref, sin_ref, fb_ref, out_ref):
+        b = pl.program_id(0)
+        n_valid = nvalid_ref[b]
+
+        def tile_body(ti, _):
+            t0 = ti * TILE_T
+            re = jnp.zeros((TILE_T, cfg.n_freqs), jnp.float32)
+            im = jnp.zeros((TILE_T, cfg.n_freqs), jnp.float32)
+            for s in range(n_seg):  # static unroll (3 segments at 16 kHz)
+                rows = wav_ref[0, pl.ds(t0 + s, TILE_T), :]
+                re = re + jnp.dot(
+                    rows, cos_ref[s], preferred_element_type=jnp.float32
+                )
+                im = im + jnp.dot(
+                    rows, sin_ref[s], preferred_element_type=jnp.float32
+                )
+            power = re * re + im * im
+            if not cfg.use_power:
+                power = jnp.sqrt(jnp.maximum(power, 0.0))
+            mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+            logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+            fi = t0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_T, 1), 0)
+            logmel = jnp.where(fi < n_valid, logmel, 0.0)
+            out_ref[0, pl.ds(t0, TILE_T), :] = logmel
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+        # ---- exact two-pass masked CMVN over the VMEM-resident features.
+        feats = out_ref[0]  # (T_pad, n_mels); pad rows are exact zeros
+        denom = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+        mean = jnp.sum(feats, axis=0, keepdims=True) / denom
+        fi = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+        valid = fi < n_valid
+        centered = jnp.where(valid, feats - mean, 0.0)
+        if norm_var:
+            var = jnp.sum(centered * centered, axis=0, keepdims=True) / denom
+            centered = centered * jax.lax.rsqrt(var + eps)
+        out_ref[0] = centered
+
+    return kernel
+
+
+def fbank_fused(
+    wav: jnp.ndarray,
+    cfg: FrontendConfig,
+    wav_lengths: Optional[jnp.ndarray] = None,
+    norm_var: bool = True,
+    eps: float = 1e-8,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, N) waveform -> ((B, T, n_mels) CMVN'd log-mel, (B, T) mask).
+
+    Output matches ``ops.fbank.fbank(..., cmvn="utterance")`` (parity test:
+    tests/test_fbank_pallas.py). Runs compiled on TPU; in interpret mode on
+    CPU for tests.
+    """
+    if cfg.frame_length % 8:  # segment rows must stay sublane-aligned
+        raise ValueError("frame_length must be a multiple of 8")
+    b, n = wav.shape
+    shift = cfg.frame_shift
+    t = fbank_ref.num_frames(n, cfg)
+    if t == 0:
+        feats = jnp.zeros((b, 0, cfg.n_mels), jnp.float32)
+        return feats, jnp.zeros((b, 0), jnp.float32)
+    t_pad = -(-t // TILE_T) * TILE_T
+    n_seg = -(-cfg.frame_length // shift)
+    s_rows = t_pad + n_seg  # room for the last frame's trailing segments
+    n_pad = s_rows * shift
+    wav_p = jnp.pad(wav, ((0, 0), (0, max(n_pad - n, 0))))[:, :n_pad]
+    u = wav_p.reshape(b, s_rows, shift)
+
+    if wav_lengths is None:
+        n_valid = jnp.full((b,), t, jnp.int32)
+    else:
+        n_valid = fbank_ref.frame_lengths_from_wav_lengths(wav_lengths, cfg)
+        n_valid = jnp.minimum(n_valid, t).astype(jnp.int32)
+
+    cos_s, sin_s, fb = _combined_bases(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s_rows, shift), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(cos_s.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sin_s.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_pad, cfg.n_mels), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    feats = pl.pallas_call(
+        _kernel(cfg, t_pad, norm_var, eps),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, cfg.n_mels), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(n_valid, u, jnp.asarray(cos_s), jnp.asarray(sin_s), jnp.asarray(fb))
+
+    feats = feats[:, :t]
+    mask = (
+        jnp.arange(t, dtype=jnp.int32)[None, :] < n_valid[:, None]
+    ).astype(jnp.float32)
+    return feats, mask

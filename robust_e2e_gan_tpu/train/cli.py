@@ -1,0 +1,218 @@
+"""Training CLI: clean-ASR pretrain / GAN pretrain / joint adversarial.
+
+Reference parity: SURVEY.md L4 — the reference exposes per-regime train
+scripts configured by pix2pix-style argparse option classes, with options
+saved into the experiment dir. Here one CLI drives all three regimes
+(``--mode asr|gan|joint``), flags override the frozen-dataclass config tree
+(config.py), and the resolved config is serialized into the checkpoint dir.
+
+Usage (CHiME-4-style data prepped as jsonl manifests or Kaldi scp):
+
+  python -m robust_e2e_gan_tpu.train.cli --mode asr \
+      --train-manifest data/train.jsonl --dev-manifest data/dev.jsonl \
+      --ckpt-dir exp/asr_clean
+
+  python -m robust_e2e_gan_tpu.train.cli --mode joint \
+      --train-manifest data/train.jsonl --init-from exp/asr_clean \
+      --ckpt-dir exp/joint --mesh-data 8
+
+  python -m robust_e2e_gan_tpu.train.cli --mode joint --synthetic \
+      --ckpt-dir /tmp/exp_demo --epochs 2      # no-corpus smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from robust_e2e_gan_tpu import config as cfg_lib
+from robust_e2e_gan_tpu.config import (
+    AttentionConfig,
+    DecoderConfig,
+    DiscriminatorConfig,
+    E2EConfig,
+    EncoderConfig,
+    EnhancerConfig,
+    FrontendConfig,
+    JointConfig,
+    TrainConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=("asr", "gan", "joint"), default="joint")
+    # data
+    p.add_argument("--train-manifest", help="jsonl manifest (data/dataset.py)")
+    p.add_argument("--dev-manifest")
+    p.add_argument("--train-noisy-scp", help="Kaldi scp of noisy waveforms")
+    p.add_argument("--train-clean-scp")
+    p.add_argument("--train-text")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the built-in synthetic learnable task")
+    p.add_argument("--synthetic-utts", type=int, default=512)
+    # model dims (reference option-class equivalents)
+    p.add_argument("--n-mels", type=int, default=80)
+    p.add_argument("--enc-layers", type=int, default=3)
+    p.add_argument("--enc-hidden", type=int, default=512)
+    p.add_argument("--enc-proj", type=int, default=512)
+    p.add_argument("--att-dim", type=int, default=512)
+    p.add_argument("--dec-hidden", type=int, default=512)
+    p.add_argument("--dec-embed", type=int, default=512)
+    p.add_argument("--enh-layers", type=int, default=2)
+    p.add_argument("--enh-hidden", type=int, default=512)
+    p.add_argument("--mtlalpha", type=float, default=0.5)
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--lambda-adv", type=float, default=1.0)
+    p.add_argument("--mu-enh", type=float, default=1.0)
+    # optimization
+    p.add_argument("--optimizer", choices=("adadelta", "adam"),
+                   default="adadelta")
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--grad-clip", type=float, default=5.0)
+    p.add_argument("--eps-decay", type=float, default=0.01)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--max-label-len", type=int, default=128)
+    p.add_argument("--length-buckets", default="32000,64000,112000,160000")
+    # infra
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--init-from", help="warm-start params from this ckpt dir")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--log-every", type=int, default=10)
+    return p
+
+
+def configs_from_args(args, vocab_size: int):
+    jcfg = JointConfig(
+        e2e=E2EConfig(
+            frontend=FrontendConfig(n_mels=args.n_mels),
+            encoder=EncoderConfig(
+                input_dim=args.n_mels, num_layers=args.enc_layers,
+                hidden_dim=args.enc_hidden, proj_dim=args.enc_proj,
+            ),
+            attention=AttentionConfig(dim=args.att_dim),
+            decoder=DecoderConfig(
+                vocab_size=vocab_size, embed_dim=args.dec_embed,
+                hidden_dim=args.dec_hidden,
+                label_smoothing=args.label_smoothing,
+            ),
+            mtlalpha=args.mtlalpha,
+        ),
+        enhancer=EnhancerConfig(
+            num_layers=args.enh_layers, hidden_dim=args.enh_hidden,
+        ),
+        discriminator=DiscriminatorConfig(input_dim=args.n_mels),
+        lambda_adv=args.lambda_adv,
+        mu_enh=args.mu_enh,
+    )
+    tcfg = TrainConfig(
+        optimizer=args.optimizer, learning_rate=args.lr,
+        grad_clip=args.grad_clip, eps_decay=args.eps_decay,
+        batch_size=args.batch_size, num_epochs=args.epochs,
+        seed=args.seed, max_label_len=args.max_label_len,
+        length_buckets=tuple(
+            int(x) for x in args.length_buckets.split(",") if x
+        ),
+        checkpoint_dir=args.ckpt_dir, log_every=args.log_every,
+    )
+    return jcfg, tcfg
+
+
+def _synthetic_factories(args):
+    from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
+
+    scfg = SyntheticConfig(seed=args.seed)
+    steps = max(args.synthetic_utts // args.batch_size, 1)
+
+    def train_batches():
+        rng = np.random.default_rng(args.seed)
+        for _ in range(steps):
+            yield make_batch(args.batch_size, scfg, rng, ignore_id=-1)
+
+    def dev_batches():
+        rng = np.random.default_rng(args.seed + 1)
+        for _ in range(max(steps // 8, 1)):
+            yield make_batch(args.batch_size, scfg, rng, ignore_id=-1)
+
+    return train_batches, dev_batches, scfg.vocab_size, None
+
+
+def _corpus_factories(args):
+    from robust_e2e_gan_tpu.data.dataset import AudioTextDataset, BucketBatcher
+
+    if args.train_manifest:
+        train_ds = AudioTextDataset.from_jsonl(args.train_manifest)
+    elif args.train_noisy_scp and args.train_text:
+        train_ds = AudioTextDataset.from_kaldi(
+            args.train_noisy_scp, args.train_text, args.train_clean_scp
+        )
+    else:
+        raise SystemExit(
+            "need --train-manifest, --train-noisy-scp/--train-text, "
+            "or --synthetic"
+        )
+    tok = train_ds.tokenizer
+    buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
+
+    def train_batches():
+        b = BucketBatcher(
+            train_ds, args.batch_size, buckets, args.max_label_len,
+            seed=args.seed,
+        )
+        return b.epoch(shuffle=True)
+
+    dev_batches = None
+    if args.dev_manifest:
+        dev_ds = AudioTextDataset.from_jsonl(args.dev_manifest, tokenizer=tok)
+
+        def dev_batches():
+            b = BucketBatcher(
+                dev_ds, args.batch_size, buckets, args.max_label_len,
+            )
+            return b.epoch(shuffle=False)
+
+    return train_batches, dev_batches, tok.vocab_size, tok
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.synthetic:
+        train_b, dev_b, vocab, tok = _synthetic_factories(args)
+    else:
+        train_b, dev_b, vocab, tok = _corpus_factories(args)
+
+    jcfg, tcfg = configs_from_args(args, vocab)
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    cfg_lib.save_config(
+        {"joint": cfg_lib.to_dict(jcfg), "train": cfg_lib.to_dict(tcfg),
+         "mode": args.mode},
+        os.path.join(args.ckpt_dir, "config.json"),
+    )
+    if tok is not None:
+        tok.save(os.path.join(args.ckpt_dir, "tokenizer.json"))
+
+    mesh = None
+    if args.mesh_data > 1:
+        from robust_e2e_gan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
+
+    from robust_e2e_gan_tpu.train.loop import train
+
+    train(
+        jcfg, tcfg, train_b, dev_batches=dev_b, mode=args.mode, mesh=mesh,
+        log_dir=args.ckpt_dir, resume=not args.no_resume,
+        init_from=args.init_from,
+    )
+
+
+if __name__ == "__main__":
+    main()

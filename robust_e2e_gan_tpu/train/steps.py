@@ -36,9 +36,16 @@ from robust_e2e_gan_tpu.pipeline import RobustE2E
 
 
 def create_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    """Grad-clip + Adadelta (reference default) or Adam."""
+    """Grad-clip + Adadelta (reference default) or Adam.
+
+    Adadelta is wrapped in ``inject_hyperparams`` so its eps is state, not a
+    constant baked into the compiled update — the reference's eps-decay-on-
+    dev-plateau schedule (SURVEY.md section 2a "Train scripts") mutates it
+    between epochs via ``decay_adadelta_eps`` without rebuilding the
+    optimizer or losing accumulator state.
+    """
     if tcfg.optimizer == "adadelta":
-        opt = optax.adadelta(
+        opt = optax.inject_hyperparams(optax.adadelta)(
             learning_rate=tcfg.learning_rate,
             rho=tcfg.adadelta_rho,
             eps=tcfg.adadelta_eps,
@@ -48,6 +55,20 @@ def create_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {tcfg.optimizer!r}")
     return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), opt)
+
+
+def decay_adadelta_eps(opt_state, factor: float):
+    """Multiply the injected Adadelta eps by ``factor`` (reference eps-decay).
+
+    No-op (returns the state unchanged) for optimizers without injected
+    hyperparameters, e.g. Adam.
+    """
+    clip_state, inner = opt_state
+    if hasattr(inner, "hyperparams") and "eps" in inner.hyperparams:
+        hp = dict(inner.hyperparams)
+        hp["eps"] = hp["eps"] * factor
+        inner = inner._replace(hyperparams=hp)
+    return (clip_state, inner)
 
 
 class TrainState(struct.PyTreeNode):
@@ -142,6 +163,30 @@ def make_asr_pretrain_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model: RobustE2E, use_enhancer: bool = True) -> Callable:
+    """Jitted dev-eval forward: ASR losses/accuracy, no parameter update.
+
+    In joint mode the dev signal is the enhanced-noisy path (the quantity
+    the reference tracked for eps-decay/best-checkpoint, SURVEY.md call
+    stack 3.1 'periodic dev eval')."""
+
+    def eval_fn(params_g, batch: Dict[str, jnp.ndarray]):
+        wav = batch["noisy_wav"] if use_enhancer else batch["clean_wav"]
+        out = model.apply(
+            {"params": params_g}, wav, batch["wav_lengths"],
+            batch["labels"], use_enhancer=use_enhancer,
+            method=RobustE2E.asr_forward,
+        )
+        return {
+            "loss": out["loss"],
+            "loss_ctc": out["loss_ctc"],
+            "loss_att": out["loss_att"],
+            "acc": out["acc"],
+        }
+
+    return jax.jit(eval_fn)
 
 
 def _gan_terms(

@@ -1,0 +1,140 @@
+"""Atomic checkpoint save/restore with best+latest retention.
+
+Reference parity: SURVEY.md section 5 "Checkpoint/resume" — the reference
+torch.save()s model+optimizer state dicts per epoch into
+checkpoints/<name>/ and tracks the best dev metric. TPU-native plan from the
+survey: atomic checkpoints that survive preemption, a resumable loop keyed
+on the step counter, best+latest retention.
+
+Implementation: the full TrainState pytree (G/D params, both optimizer
+states, PRNG key, step) is serialized with flax msgpack into a temp file and
+atomically renamed — a preempted write can never corrupt the latest
+checkpoint. A sidecar JSON carries step/metric metadata. Device arrays are
+pulled to host once (fully replicated save; per-shard saving is unnecessary
+at this model scale — params are MBs, not GBs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state: Any,
+    step: int,
+    metric: Optional[float] = None,
+    keep: int = 3,
+    best_mode: str = "max",
+) -> str:
+    """Write ckpt_dir/ckpt_<step>.msgpack atomically; update latest/best.
+
+    Returns the checkpoint path. ``metric`` (e.g. dev accuracy) drives the
+    'best' symlink; ``keep`` bounds non-best retained checkpoints.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    data = serialization.to_bytes(_to_host(state))
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    meta = _read_meta(ckpt_dir)
+    meta["latest"] = {"step": step, "path": os.path.basename(path)}
+    if metric is not None:
+        best = meta.get("best")
+        better = (
+            best is None
+            or (best_mode == "max" and metric > best["metric"])
+            or (best_mode == "min" and metric < best["metric"])
+        )
+        if better:
+            meta["best"] = {
+                "step": step,
+                "metric": float(metric),
+                "path": os.path.basename(path),
+            }
+    meta.setdefault("history", []).append(
+        {"step": step, "metric": None if metric is None else float(metric)}
+    )
+    _write_meta(ckpt_dir, meta)
+    _prune(ckpt_dir, meta, keep)
+    return path
+
+
+def restore_checkpoint(
+    ckpt_dir: str, state_template: Any, which: str = "latest"
+) -> Tuple[Any, int]:
+    """Restore 'latest' or 'best' into the template pytree; returns
+    (state, step). Raises FileNotFoundError if absent."""
+    meta = _read_meta(ckpt_dir)
+    entry = meta.get(which)
+    if not entry:
+        raise FileNotFoundError(f"no '{which}' checkpoint in {ckpt_dir}")
+    path = os.path.join(ckpt_dir, entry["path"])
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(state_template, f.read())
+    return state, int(entry["step"])
+
+
+def has_checkpoint(ckpt_dir: str, which: str = "latest") -> bool:
+    entry = _read_meta(ckpt_dir).get(which)
+    return bool(entry) and os.path.exists(
+        os.path.join(ckpt_dir, entry["path"])
+    )
+
+
+def _meta_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "checkpoints.json")
+
+
+def _read_meta(ckpt_dir: str) -> Dict:
+    p = _meta_path(ckpt_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_meta(ckpt_dir: str, meta: Dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, _meta_path(ckpt_dir))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _prune(ckpt_dir: str, meta: Dict, keep: int) -> None:
+    protect = {
+        e["path"] for e in (meta.get("latest"), meta.get("best")) if e
+    }
+    cands: List[Tuple[int, str]] = []
+    for fn in os.listdir(ckpt_dir):
+        if fn.startswith("ckpt_") and fn.endswith(".msgpack"):
+            if fn not in protect:
+                try:
+                    cands.append((int(fn[5:-8]), fn))
+                except ValueError:
+                    pass
+    cands.sort(reverse=True)
+    for _, fn in cands[max(keep - 1, 0):]:
+        os.unlink(os.path.join(ckpt_dir, fn))

@@ -110,8 +110,71 @@ def main(steps=500):
                            method=RobustE2E.enhance)
     assert np.isfinite(np.asarray(e2)).all()
     print("probes OK")
+    drive_loop_and_data()
     print("VERIFY PASS")
 
 
+def drive_loop_and_data():
+    """Drive the dataset layer + training driver + checkpoint resume
+    through the public API (train/loop.py, data/dataset.py)."""
+    import json
+    import tempfile
+
+    from robust_e2e_gan_tpu.data.dataset import AudioTextDataset, BucketBatcher
+    from robust_e2e_gan_tpu.data.synthetic import synth_utterance
+    from robust_e2e_gan_tpu.train.loop import train
+    from robust_e2e_gan_tpu.utils import checkpoint as ckpt
+
+    tmp = tempfile.mkdtemp(prefix="rg_verify_")
+    rng = np.random.default_rng(0)
+    alphabet = "abcdefghij"  # 10 chars -> ids 3..12 after specials
+    entries = []
+    for i in range(8):
+        n_tok = int(rng.integers(2, 5))
+        toks = rng.integers(2, VOCAB, size=(n_tok,)).astype(np.int32)
+        clean, noisy = synth_utterance(toks, SCFG, rng)
+        np.save(f"{tmp}/n{i}.npy", noisy)
+        np.save(f"{tmp}/c{i}.npy", clean)
+        text = "".join(alphabet[t - 2] for t in toks)
+        entries.append({"utt_id": f"u{i}", "noisy": f"n{i}.npy",
+                        "clean": f"c{i}.npy", "text": text,
+                        "n_samples": len(clean)})
+    with open(f"{tmp}/manifest.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(e) for e in entries))
+
+    ds = AudioTextDataset.from_jsonl(f"{tmp}/manifest.jsonl")
+    assert 3 < ds.tokenizer.vocab_size <= VOCAB + 1  # specials + seen chars
+
+    def batches():
+        b = BucketBatcher(ds, batch_size=4,
+                          length_buckets=(SCFG.max_tokens * 1920,),
+                          max_label_len=8)
+        return b.epoch(shuffle=False)
+
+    jcfg2 = JCFG  # vocab 13 needed (tokenizer adds <unk>): widen decoder
+    from dataclasses import replace
+    jcfg2 = replace(JCFG, e2e=replace(
+        JCFG.e2e, decoder=replace(JCFG.e2e.decoder,
+                                  vocab_size=ds.tokenizer.vocab_size)))
+    tcfg = TrainConfig(optimizer="adadelta", learning_rate=1.0,
+                       num_epochs=1, checkpoint_dir=f"{tmp}/ck", log_every=2)
+    state1, _, _ = train(jcfg2, tcfg, batches, dev_batches=batches,
+                         mode="joint", log_dir=f"{tmp}/logs")
+    assert ckpt.has_checkpoint(tcfg.checkpoint_dir, "best")
+    from dataclasses import replace as rep
+    tcfg2 = TrainConfig(optimizer="adadelta", learning_rate=1.0,
+                        num_epochs=2, checkpoint_dir=f"{tmp}/ck", log_every=2)
+    state2, _, _ = train(jcfg2, tcfg2, batches, dev_batches=batches,
+                         mode="joint", log_dir=f"{tmp}/logs")
+    assert int(state2.step) == 2 * int(state1.step), (
+        int(state1.step), int(state2.step))
+    print("loop+data+checkpoint drive OK")
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    if n == 0:  # drive only the data/loop/checkpoint section
+        drive_loop_and_data()
+        print("VERIFY PASS (loop/data only)")
+    else:
+        main(n)

@@ -1,0 +1,75 @@
+"""End-to-end CLI tests: train via train/cli.py on a jsonl manifest, decode
+and score via decode/cli.py (reference L4/L5 entry-point parity)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, synth_utterance
+from robust_e2e_gan_tpu.decode import cli as decode_cli
+from robust_e2e_gan_tpu.train import cli as train_cli
+
+ALPHABET = "abcdefghij"
+SCFG = SyntheticConfig(vocab_size=12, min_tokens=2, max_tokens=4)
+
+
+@pytest.fixture(scope="module")
+def manifest(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(8):
+        n_tok = int(rng.integers(2, 5))
+        toks = rng.integers(2, 12, size=(n_tok,)).astype(np.int32)
+        clean, noisy = synth_utterance(toks, SCFG, rng)
+        np.save(tmp / f"n{i}.npy", noisy)
+        np.save(tmp / f"c{i}.npy", clean)
+        entries.append({
+            "utt_id": f"u{i}", "noisy": f"n{i}.npy", "clean": f"c{i}.npy",
+            "text": "".join(ALPHABET[t - 2] for t in toks),
+            "n_samples": len(clean),
+        })
+    mf = tmp / "manifest.jsonl"
+    mf.write_text("\n".join(json.dumps(e) for e in entries))
+    return str(mf)
+
+
+def test_train_and_decode_cli(manifest, tmp_path):
+    ckpt = str(tmp_path / "exp")
+    train_cli.main([
+        "--mode", "joint",
+        "--train-manifest", manifest, "--dev-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000",
+        "--max-label-len", "8", "--log-every", "1",
+    ])
+    assert os.path.exists(os.path.join(ckpt, "config.json"))
+    assert os.path.exists(os.path.join(ckpt, "tokenizer.json"))
+    assert os.path.exists(os.path.join(ckpt, "joint_metrics.csv"))
+
+    out = str(tmp_path / "dec")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
+        "--batch-size", "4", "--beam-size", "3", "--max-steps", "6",
+        "--length-buckets", "16000",
+    ])
+    with open(os.path.join(out, "wer.json")) as f:
+        report = json.load(f)
+    assert report["n_utts"] == 8
+    assert report["decoder"] == "beam3"
+    hyp = open(os.path.join(out, "hyp.txt")).read().strip().splitlines()
+    assert len(hyp) == 8 and all(line.split()[0].startswith("u") for line in hyp)
+
+    # greedy path too
+    out2 = str(tmp_path / "dec_greedy")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out2,
+        "--batch-size", "4", "--greedy", "--length-buckets", "16000",
+    ])
+    assert os.path.exists(os.path.join(out2, "wer.json"))

@@ -1,0 +1,132 @@
+"""Data-layer tests: Kaldi ark/scp I/O round-trips, tokenizer, bucketing
+loader (SURVEY.md section 2a "Kaldi I/O" / "Dataset-Loader")."""
+
+import json
+import os
+
+import numpy as np
+
+from robust_e2e_gan_tpu.data import kaldi_io
+from robust_e2e_gan_tpu.data.dataset import (
+    AudioTextDataset,
+    BucketBatcher,
+    CharTokenizer,
+    Prefetcher,
+)
+
+
+def test_ark_scp_roundtrip(tmp_path, rng):
+    mats = {
+        "utt1": rng.standard_normal((5, 13)).astype(np.float32),
+        "utt2": rng.standard_normal((3, 13)).astype(np.float32),
+        "vec1": rng.standard_normal((7,)).astype(np.float32),
+    }
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    kaldi_io.write_ark_scp(iter(mats.items()), ark, scp)
+
+    got = dict(kaldi_io.read_mat_ark(ark))
+    assert set(got) == set(mats)
+    for k in mats:
+        np.testing.assert_array_equal(got[k], mats[k])
+
+    got_scp = dict(kaldi_io.read_mat_scp(scp))
+    for k in mats:
+        np.testing.assert_array_equal(got_scp[k], mats[k])
+
+    idx = kaldi_io.read_scp_index(scp)
+    np.testing.assert_array_equal(
+        kaldi_io.read_mat_at(*idx["utt2"]), mats["utt2"]
+    )
+
+
+def test_text_ark_read(tmp_path):
+    p = tmp_path / "cmvn.ark"
+    p.write_bytes(b"spk1  [\n  1.0 2.0 3.0\n  4.0 5.0 6.0 ]\n")
+    key, mat = next(kaldi_io.read_mat_ark(str(p)))
+    assert key == "spk1"
+    np.testing.assert_allclose(mat, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_char_tokenizer(tmp_path):
+    tok = CharTokenizer.from_texts(["hello world", "abc"])
+    ids = tok.encode("hello")
+    assert all(i >= 3 for i in ids)
+    assert tok.decode(ids) == "hello"
+    assert tok.encode("z") == [CharTokenizer.UNK]
+    p = str(tmp_path / "dict.json")
+    tok.save(p)
+    tok2 = CharTokenizer.load(p)
+    assert tok2.decode(tok2.encode("world")) == "world"
+    assert tok2.vocab_size == tok.vocab_size
+
+
+def _write_manifest(tmp_path, rng, n=7):
+    entries = []
+    for i in range(n):
+        ns = int(rng.integers(1000, 9000))
+        noisy = rng.standard_normal(ns).astype(np.float32)
+        clean = rng.standard_normal(ns).astype(np.float32)
+        np.save(tmp_path / f"n{i}.npy", noisy)
+        np.save(tmp_path / f"c{i}.npy", clean)
+        entries.append({
+            "utt_id": f"utt{i}", "noisy": f"n{i}.npy", "clean": f"c{i}.npy",
+            "text": "ab" * (i + 1), "n_samples": ns,
+        })
+    mf = tmp_path / "manifest.jsonl"
+    mf.write_text("\n".join(json.dumps(e) for e in entries))
+    return str(mf)
+
+
+def test_bucket_batcher(tmp_path, rng):
+    mf = _write_manifest(tmp_path, rng)
+    ds = AudioTextDataset.from_jsonl(mf)
+    batcher = BucketBatcher(
+        ds, batch_size=3, length_buckets=(4000, 9000), max_label_len=20,
+    )
+    seen = set()
+    for batch in batcher.epoch(shuffle=True):
+        assert batch["noisy_wav"].shape[1] in (4000, 9000)
+        assert batch["noisy_wav"].shape == batch["clean_wav"].shape
+        assert batch["labels"].shape[1] == 20
+        for j, uid in enumerate(batch["utt_ids"]):
+            seen.add(uid)
+            n = batch["wav_lengths"][j]
+            assert n <= batch["noisy_wav"].shape[1]
+            toks = [t for t in batch["labels"][j] if t != -1]
+            i = int(uid[3:])
+            assert ds.tokenizer.decode(toks) == "ab" * (i + 1)
+    assert seen == {f"utt{i}" for i in range(7)}
+
+
+def test_kaldi_dataset(tmp_path, rng):
+    # waveforms as Kaldi float vectors + text file
+    entries = {}
+    texts = []
+    for i in range(4):
+        wav = rng.standard_normal(2000 + 100 * i).astype(np.float32)
+        entries[f"utt{i}"] = wav
+        texts.append(f"utt{i} hey{i}")
+    ark = str(tmp_path / "wav.ark")
+    scp = str(tmp_path / "wav.scp")
+    kaldi_io.write_ark_scp(iter(entries.items()), ark, scp)
+    (tmp_path / "text").write_text("\n".join(texts))
+
+    ds = AudioTextDataset.from_kaldi(scp, str(tmp_path / "text"))
+    assert len(ds) == 4
+    b = BucketBatcher(ds, batch_size=2, length_buckets=(4000,))
+    batches = list(b.epoch(shuffle=False))
+    assert sum(len(x["utt_ids"]) for x in batches) == 4
+    nw, cw = ds.utts[0].load()
+    np.testing.assert_array_equal(nw, cw)  # clean falls back to noisy
+
+
+def test_prefetcher(tmp_path, rng):
+    mf = _write_manifest(tmp_path, rng, n=5)
+    ds = AudioTextDataset.from_jsonl(mf)
+    batcher = BucketBatcher(ds, batch_size=2, length_buckets=(9000,))
+    direct = list(batcher.epoch(shuffle=False))
+    fetched = list(Prefetcher(batcher.epoch(shuffle=False)))
+    assert len(fetched) == len(direct)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a["noisy_wav"], b["noisy_wav"])

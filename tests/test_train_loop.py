@@ -1,0 +1,117 @@
+"""Training-driver tests: checkpoint atomicity/retention/resume, eps-decay,
+and a smoke run of the full epoch loop in each regime (SURVEY.md section 5
+"Checkpoint/resume": resumable loop, best+latest retention)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from robust_e2e_gan_tpu.config import (
+    AttentionConfig,
+    DecoderConfig,
+    DiscriminatorConfig,
+    E2EConfig,
+    EncoderConfig,
+    EnhancerConfig,
+    FrontendConfig,
+    JointConfig,
+    TrainConfig,
+)
+from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
+from robust_e2e_gan_tpu.models.enhancement import Discriminator
+from robust_e2e_gan_tpu.pipeline import RobustE2E
+from robust_e2e_gan_tpu.train import steps as steps_lib
+from robust_e2e_gan_tpu.train.loop import train
+from robust_e2e_gan_tpu.utils import checkpoint as ckpt
+
+VOCAB = 12
+JCFG = JointConfig(
+    e2e=E2EConfig(
+        frontend=FrontendConfig(n_mels=24),
+        encoder=EncoderConfig(input_dim=24, vgg_channels=(4, 8), num_layers=1,
+                              hidden_dim=32, proj_dim=32),
+        attention=AttentionConfig(dim=24, conv_channels=4, conv_kernel=11),
+        decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=16, hidden_dim=32),
+    ),
+    enhancer=EnhancerConfig(input_dim=257, num_layers=1, hidden_dim=32),
+    discriminator=DiscriminatorConfig(input_dim=24, channels=(4, 8)),
+)
+SCFG = SyntheticConfig(vocab_size=VOCAB, max_tokens=3, min_tokens=2)
+
+
+def _batches(n, batch_size=2, seed=0):
+    def factory():
+        rng = np.random.default_rng(seed)
+        for _ in range(n):
+            yield make_batch(batch_size, SCFG, rng, ignore_id=-1)
+
+    return factory
+
+
+def test_checkpoint_roundtrip_and_retention(tmp_path):
+    d = str(tmp_path / "ck")
+    state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+             "step": np.int32(0)}
+    for s, metric in [(1, 0.1), (2, 0.5), (3, 0.3), (4, 0.2)]:
+        st = {"w": state["w"] + s, "step": np.int32(s)}
+        ckpt.save_checkpoint(d, st, s, metric=metric, keep=2)
+
+    latest, step = ckpt.restore_checkpoint(d, state, "latest")
+    assert step == 4 and latest["step"] == 4
+    best, bstep = ckpt.restore_checkpoint(d, state, "best")
+    assert bstep == 2  # metric 0.5 was the best
+    np.testing.assert_array_equal(best["w"], state["w"] + 2)
+    # retention: best + latest survive pruning
+    files = [f for f in os.listdir(d) if f.endswith(".msgpack")]
+    assert "ckpt_2.msgpack" in files and "ckpt_4.msgpack" in files
+    assert len(files) <= 3
+
+
+def test_eps_decay():
+    tcfg = TrainConfig(optimizer="adadelta", adadelta_eps=1e-8)
+    opt = steps_lib.create_optimizer(tcfg)
+    params = {"w": jnp.ones((3,))}
+    st = opt.init(params)
+    st2 = steps_lib.decay_adadelta_eps(st, 0.5)
+    assert float(st2[1].hyperparams["eps"]) == pytest.approx(5e-9)
+    # update still works after decay
+    g = {"w": jnp.ones((3,))}
+    upd, _ = opt.update(g, st2, params)
+    assert np.isfinite(np.asarray(upd["w"])).all()
+    # adam path: no-op
+    tcfg_a = TrainConfig(optimizer="adam", learning_rate=1e-3)
+    opt_a = steps_lib.create_optimizer(tcfg_a)
+    st_a = opt_a.init(params)
+    assert steps_lib.decay_adadelta_eps(st_a, 0.5) == st_a
+
+
+@pytest.mark.parametrize("mode", ["asr", "gan", "joint"])
+def test_train_loop_smoke(tmp_path, mode):
+    tcfg = TrainConfig(
+        optimizer="adam", learning_rate=1e-3, num_epochs=1,
+        checkpoint_dir=str(tmp_path / f"ck_{mode}"), log_every=1,
+    )
+    state, model, disc = train(
+        JCFG, tcfg, _batches(2), dev_batches=_batches(1),
+        mode=mode, log_dir=str(tmp_path / "logs"),
+    )
+    assert int(state.step) == 2
+    assert ckpt.has_checkpoint(tcfg.checkpoint_dir)
+    assert ckpt.has_checkpoint(tcfg.checkpoint_dir, "best")
+
+
+def test_train_loop_resume(tmp_path):
+    tcfg = TrainConfig(
+        optimizer="adam", learning_rate=1e-3, num_epochs=1,
+        checkpoint_dir=str(tmp_path / "ck"), log_every=10,
+    )
+    state1, _, _ = train(JCFG, tcfg, _batches(2), mode="asr")
+    # second call with num_epochs=2 resumes from epoch 1, runs 1 more epoch
+    tcfg2 = TrainConfig(
+        optimizer="adam", learning_rate=1e-3, num_epochs=2,
+        checkpoint_dir=str(tmp_path / "ck"), log_every=10,
+    )
+    state2, _, _ = train(JCFG, tcfg2, _batches(2), mode="asr")
+    assert int(state2.step) == 4
