@@ -28,12 +28,18 @@ from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
 from robust_e2e_gan_tpu.pipeline import RobustE2E
 
 
-def _timed(fn, min_seconds=5.0, max_iters=50):
-    """Median-free throughput timing: run until min_seconds elapsed."""
-    fn()  # warm (already compiled)
+def _timed(fn, min_seconds=5.0, max_iters=200):
+    """Throughput timing with a hard host sync per call.
+
+    ``fn`` must return a device array; fetching it to host each iteration is
+    a data dependency the async dispatch queue cannot skip (the experimental
+    remote-TPU platform has been observed returning early from
+    block_until_ready).
+    """
+    np.asarray(fn())  # warm (already compiled)
     n, t0 = 0, time.perf_counter()
     while True:
-        fn()
+        np.asarray(fn())
         n += 1
         dt = time.perf_counter() - t0
         if dt >= min_seconds or n >= max_iters:
@@ -63,18 +69,15 @@ def main():
     searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=True)
 
     # --- batched (TPU-native) path ---
-    jax.block_until_ready(searcher(params, wav, lens))  # compile B=16
-    iters, dt = _timed(
-        lambda: jax.block_until_ready(searcher(params, wav, lens))
-    )
+    iters, dt = _timed(lambda: searcher(params, wav, lens).lengths)
     utt_s = B * iters / dt
 
     # --- reference-style batch=1 loop (host-driven per-utterance decode) ---
-    jax.block_until_ready(searcher(params, wav[:1], lens[:1]))  # compile B=1
+    np.asarray(searcher(params, wav[:1], lens[:1]).lengths)  # compile B=1
     n1 = 8
     t0 = time.perf_counter()
     for i in range(n1):
-        jax.block_until_ready(searcher(params, wav[i : i + 1], lens[i : i + 1]))
+        np.asarray(searcher(params, wav[i : i + 1], lens[i : i + 1]).lengths)
     utt_s_base = n1 / (time.perf_counter() - t0)
 
     print(json.dumps({

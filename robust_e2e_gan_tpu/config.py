@@ -68,6 +68,7 @@ class AttentionConfig:
     conv_channels: int = 10
     conv_kernel: int = 201  # odd; reference-era aconv_filts=100 -> 2*100+1
     sharpening: float = 2.0  # scaling of pre-softmax scores
+    variant: str = "location"  # location | add | dot (reference atype)
 
 
 @dataclass(frozen=True)

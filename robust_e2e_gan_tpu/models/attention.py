@@ -74,6 +74,74 @@ class AttLoc(nn.Module):
         return ctx, att
 
 
+class AttAdd(nn.Module):
+    """Additive (Bahdanau) attention — the reference's AttAdd variant
+    (SURVEY.md section 2a "Attention": "plus possibly AttDot/AttAdd
+    variants"). Same as AttLoc without the location conv; att_prev is
+    accepted and ignored so all variants share one step signature."""
+
+    cfg: AttentionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, enc_proj, mask, dec_z, att_prev):
+        a = self.cfg.dim
+        dec = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_dec")(dec_z)
+        e = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(
+            jnp.tanh(enc_proj + dec[:, None, :])
+        )[..., 0]
+        e = self.cfg.sharpening * e
+        e = jnp.where(mask > 0, e, _MASK_MIN)
+        att = nn.softmax(e, axis=-1)
+        att = att * mask
+        att = att / jnp.maximum(jnp.sum(att, axis=-1, keepdims=True), 1e-8)
+        ctx = jnp.einsum(
+            "bt,bte->be", att, enc, preferred_element_type=jnp.float32
+        ).astype(enc.dtype)
+        return ctx, att
+
+
+class AttDot(nn.Module):
+    """Dot-product attention — the reference's AttDot variant: scores are
+    tanh(enc_proj) . tanh(W dec_z); att_prev accepted and ignored."""
+
+    cfg: AttentionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, enc_proj, mask, dec_z, att_prev):
+        a = self.cfg.dim
+        dec = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_dec")(dec_z)
+        e = jnp.einsum(
+            "bta,ba->bt", jnp.tanh(enc_proj), jnp.tanh(dec),
+            preferred_element_type=jnp.float32,
+        )
+        e = self.cfg.sharpening * e
+        e = jnp.where(mask > 0, e, _MASK_MIN)
+        att = nn.softmax(e, axis=-1)
+        att = att * mask
+        att = att / jnp.maximum(jnp.sum(att, axis=-1, keepdims=True), 1e-8)
+        ctx = jnp.einsum(
+            "bt,bte->be", att, enc, preferred_element_type=jnp.float32
+        ).astype(enc.dtype)
+        return ctx, att
+
+
+ATTENTION_VARIANTS = {"location": AttLoc, "add": AttAdd, "dot": AttDot}
+
+
+def make_attention(cfg: AttentionConfig, dtype=jnp.float32, name="att"):
+    """Factory over the reference's attention variants (atype option)."""
+    try:
+        cls = ATTENTION_VARIANTS[cfg.variant]
+    except KeyError:
+        raise ValueError(
+            f"unknown attention variant {cfg.variant!r}; "
+            f"options: {sorted(ATTENTION_VARIANTS)}"
+        )
+    return cls(cfg, dtype=dtype, name=name)
+
+
 def initial_alignment(mask: jnp.ndarray) -> jnp.ndarray:
     """Masked-uniform alignment over valid frames (ESPnet step-0 convention)."""
     denom = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)

@@ -8,6 +8,12 @@ single DecoderStep module — one compiled graph per length bucket, with the
 encoder-side attention projection hoisted out of the loop. The same
 DecoderStep (same parameters) is exposed through ``Decoder.step`` for the
 on-device beam search, so training and decode paths cannot drift apart.
+
+Scheduled sampling: with probability ``sampling_probability`` each step
+feeds back the model's own previous argmax prediction instead of the gold
+token (carried through the scan as ``prev_pred``; never triggers at step 0,
+where prev_pred is the -1 sentinel). The per-step Bernoulli draws come from
+the 'sampling' rng collection, split per scan step.
 """
 
 from __future__ import annotations
@@ -20,24 +26,38 @@ from flax import linen as nn
 
 from robust_e2e_gan_tpu.config import AttentionConfig, DecoderConfig
 from robust_e2e_gan_tpu.models.attention import (
-    AttLoc,
     EncoderProjection,
     initial_alignment,
+    make_attention,
 )
 from robust_e2e_gan_tpu.models.rnn import LSTMCell
 
 
 class DecoderStep(nn.Module):
-    """One decode step: attention with s_{t-1}, LSTM update, output logits."""
+    """One decode step on raw token ids: scheduled-sampling token choice,
+    embedding, attention with s_{t-1}, LSTM update, output logits."""
 
     dcfg: DecoderConfig
     acfg: AttentionConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, emb_t, enc, enc_proj, enc_mask):
-        h_prev, c_prev, att_prev = carry
-        ctx, att = AttLoc(self.acfg, dtype=self.dtype, name="att")(
+    def __call__(
+        self, carry, tok_t, enc, enc_proj, enc_mask,
+        sampling_prob: float = 0.0,
+    ):
+        h_prev, c_prev, att_prev, prev_pred = carry
+        if sampling_prob > 0.0:
+            sample = jax.random.bernoulli(
+                self.make_rng("sampling"), sampling_prob, tok_t.shape
+            )
+            tok_t = jnp.where(sample & (prev_pred >= 0), prev_pred, tok_t)
+        emb_t = nn.Embed(
+            self.dcfg.vocab_size, self.dcfg.embed_dim, dtype=self.dtype,
+            name="embed",
+        )(jnp.maximum(tok_t, 0))
+
+        ctx, att = make_attention(self.acfg, dtype=self.dtype, name="att")(
             enc, enc_proj, enc_mask, h_prev[-1], att_prev
         )
         x = jnp.concatenate([emb_t, ctx], axis=-1)
@@ -53,7 +73,8 @@ class DecoderStep(nn.Module):
         logits = nn.Dense(
             self.dcfg.vocab_size, dtype=self.dtype, name="output"
         )(jnp.concatenate([z, ctx], axis=-1))
-        new_carry = (jnp.stack(hs), jnp.stack(cs), att)
+        new_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        new_carry = (jnp.stack(hs), jnp.stack(cs), att, new_pred)
         return new_carry, (logits, att)
 
 
@@ -65,9 +86,6 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.embed = nn.Embed(
-            self.dcfg.vocab_size, self.dcfg.embed_dim, dtype=self.dtype
-        )
         self.enc_projection = EncoderProjection(self.acfg, dtype=self.dtype)
         self.step_mod = DecoderStep(self.dcfg, self.acfg, dtype=self.dtype)
 
@@ -75,42 +93,41 @@ class Decoder(nn.Module):
         h0 = jnp.zeros(
             (self.dcfg.num_layers, batch, self.dcfg.hidden_dim), jnp.float32
         )
-        return (h0, h0, initial_alignment(enc_mask))
+        prev_pred = jnp.full((batch,), -1, jnp.int32)  # sentinel: no pred yet
+        return (h0, h0, initial_alignment(enc_mask), prev_pred)
 
     def __call__(
         self,
         enc: jnp.ndarray,
         enc_mask: jnp.ndarray,
         ys_in: jnp.ndarray,
-        rngs_sampling: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (logits (B, S, V), attentions (B, S, T))."""
         b, s = ys_in.shape
         enc_proj = self.enc_projection(enc)
-        emb = self.embed(jnp.maximum(ys_in, 0))  # pad ids already mapped >= 0
         carry0 = self.initial_carry(b, enc_mask)
+        p = 0.0 if deterministic else self.dcfg.sampling_probability
 
         scan = nn.scan(
-            lambda mod, carry, emb_t: mod(carry, emb_t, enc, enc_proj, enc_mask),
+            lambda mod, carry, tok_t: mod(
+                carry, tok_t, enc, enc_proj, enc_mask, sampling_prob=p
+            ),
             variable_broadcast="params",
-            split_rngs={"params": False},
+            split_rngs={"params": False, "sampling": True},
             in_axes=1,
             out_axes=1,
         )
-        _, (logits, atts) = scan(self.step_mod, carry0, emb)
+        _, (logits, atts) = scan(self.step_mod, carry0, ys_in)
         return logits, atts
 
     def project_encoder(self, enc: jnp.ndarray) -> jnp.ndarray:
         """Expose the hoisted encoder projection for decode-time use."""
         return self.enc_projection(enc)
 
-    def embed_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        return self.embed(jnp.maximum(tokens, 0))
-
     def step(self, carry, tokens, enc, enc_proj, enc_mask):
         """Single decode step on raw token ids (beam-search entry point)."""
-        emb_t = self.embed(jnp.maximum(tokens, 0))
-        return self.step_mod(carry, emb_t, enc, enc_proj, enc_mask)
+        return self.step_mod(carry, tokens, enc, enc_proj, enc_mask)
 
 
 def decoder_cross_entropy(

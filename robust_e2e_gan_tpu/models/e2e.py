@@ -99,7 +99,7 @@ class E2E(nn.Module):
         ys_in, ys_out, _ = add_sos_eos(
             ys_pad, self.cfg.sos_id, self.cfg.eos_id, self.cfg.ignore_id
         )
-        logits, _ = self.decoder(hs, hmask, ys_in)
+        logits, _ = self.decoder(hs, hmask, ys_in, deterministic=deterministic)
         loss_att, acc = decoder_cross_entropy(
             logits,
             ys_out,

@@ -146,8 +146,10 @@ def stft_power(
     cos_m = jnp.asarray(cos_m[: cfg.frame_length], dtype=dtype)
     sin_m = jnp.asarray(sin_m[: cfg.frame_length], dtype=dtype)
     frames = frames.astype(dtype)
-    re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32)
+    re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     power = re * re + im * im
     if not cfg.use_power:
         power = jnp.sqrt(jnp.maximum(power, 0.0))
@@ -157,7 +159,8 @@ def stft_power(
 def log_mel(power: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """(..., T, n_freqs) power spectrum -> (..., T, n_mels) log-mel fbank."""
     fb = jnp.asarray(mel_filterbank(cfg), dtype=power.dtype)
-    mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32)
+    mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.log(jnp.maximum(mel, cfg.log_floor))
 
 

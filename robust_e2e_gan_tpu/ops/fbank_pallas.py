@@ -11,7 +11,11 @@ Kernel design (see /opt/skills/guides/pallas_guide.md):
   * The host reshapes the padded waveform to (B, S, shift) rows. Because
     frame_length = 2*shift + rem (400 = 2*160 + 80 at 16 kHz defaults),
     frame t is exactly rows [t], [t+1] and the first ``rem`` samples of row
-    [t+2] — so framing needs NO gather and NO lane-unaligned concat.
+    [t+2] — so framing needs NO gather and NO lane-unaligned concat. The
+    three row-shifted views are stacked on the host (Mosaic requires
+    sublane-dim slice starts to be 8-aligned, so the +1/+2 row shifts must
+    happen outside the kernel); that costs n_seg x the waveform bytes in
+    HBM, negligible next to the (T, n_freqs) spectra the fusion avoids.
   * DC-removal, pre-emphasis and the analysis window are linear maps on the
     frame, so they are folded into the DFT bases on the host (numpy,
     float64): M = A_dc^T P_pre^T diag(w) C. The per-frame segment structure
@@ -98,17 +102,20 @@ def _kernel(cfg: FrontendConfig, t_pad: int, norm_var: bool, eps: float):
             re = jnp.zeros((TILE_T, cfg.n_freqs), jnp.float32)
             im = jnp.zeros((TILE_T, cfg.n_freqs), jnp.float32)
             for s in range(n_seg):  # static unroll (3 segments at 16 kHz)
-                rows = wav_ref[0, pl.ds(t0 + s, TILE_T), :]
+                rows = wav_ref[s, 0, pl.ds(t0, TILE_T), :]
                 re = re + jnp.dot(
-                    rows, cos_ref[s], preferred_element_type=jnp.float32
+                    rows, cos_ref[s], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 im = im + jnp.dot(
-                    rows, sin_ref[s], preferred_element_type=jnp.float32
+                    rows, sin_ref[s], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             power = re * re + im * im
             if not cfg.use_power:
                 power = jnp.sqrt(jnp.maximum(power, 0.0))
-            mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+            mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
             fi = t0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_T, 1), 0)
             logmel = jnp.where(fi < n_valid, logmel, 0.0)
@@ -159,7 +166,11 @@ def fbank_fused(
     s_rows = t_pad + n_seg  # room for the last frame's trailing segments
     n_pad = s_rows * shift
     wav_p = jnp.pad(wav, ((0, 0), (0, max(n_pad - n, 0))))[:, :n_pad]
-    u = wav_p.reshape(b, s_rows, shift)
+    rows = wav_p.reshape(b, s_rows, shift)
+    # stack the n_seg row-shifted views: u[s, b, t] = rows[b, t + s]
+    u = jnp.stack(
+        [rows[:, s : s + t_pad] for s in range(n_seg)], axis=0
+    )  # (n_seg, B, T_pad, shift)
 
     if wav_lengths is None:
         n_valid = jnp.full((b,), t, jnp.int32)
@@ -176,7 +187,7 @@ def fbank_fused(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, s_rows, shift), lambda i, *_: (i, 0, 0),
+                (n_seg, 1, t_pad, shift), lambda i, *_: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(cos_s.shape, lambda i, *_: (0, 0, 0),

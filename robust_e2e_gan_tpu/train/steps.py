@@ -134,6 +134,9 @@ def make_asr_pretrain_step(
     """Clean-ASR pretraining step (SURVEY.md train script (a))."""
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng_next, k_drop, k_samp = jax.random.split(state.rng, 3)
+        rngs = {"dropout": k_drop, "sampling": k_samp}
+
         def loss_fn(params):
             out = model.apply(
                 {"params": params},
@@ -141,7 +144,9 @@ def make_asr_pretrain_step(
                 batch["wav_lengths"],
                 batch["labels"],
                 use_enhancer=use_enhancer,
+                deterministic=False,
                 method=RobustE2E.asr_forward,
+                rngs=rngs,
             )
             return out["loss"], out
 
@@ -151,7 +156,8 @@ def make_asr_pretrain_step(
         updates, new_opt = opt_g.update(grads, state.opt_state_g, state.params_g)
         new_params = optax.apply_updates(state.params_g, updates)
         new_state = state.replace(
-            step=state.step + 1, params_g=new_params, opt_state_g=new_opt
+            step=state.step + 1, params_g=new_params, opt_state_g=new_opt,
+            rng=rng_next,
         )
         metrics = {
             "loss": loss,
@@ -197,6 +203,8 @@ def _gan_terms(
     params_d,
     batch,
     with_asr: bool,
+    deterministic: bool = True,
+    rngs=None,
 ):
     out = model.apply(
         {"params": params_g},
@@ -204,7 +212,9 @@ def _gan_terms(
         batch["clean_wav"],
         batch["wav_lengths"],
         batch["labels"],
+        deterministic=deterministic,
         method=RobustE2E.joint_forward,
+        rngs=rngs,
     )
     d_fake = discriminator.apply(
         {"params": params_d}, out["enhanced_logmel"], out["frame_mask"]
@@ -239,6 +249,9 @@ def make_joint_train_step(
     enhancement-GAN pretraining regime (train script (b))."""
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng_next, k_drop, k_samp = jax.random.split(state.rng, 3)
+        rngs = {"dropout": k_drop, "sampling": k_samp}
+
         # ---- D step: grads wrt D params only; G is implicitly detached
         # because we differentiate wrt params_d (reference used .detach()).
         def d_loss_fn(params_d):
@@ -256,7 +269,7 @@ def make_joint_train_step(
         def g_loss_fn(params_g):
             loss_g, _, out, loss_g_adv, loss_enh = _gan_terms(
                 model, discriminator, jcfg, params_g, new_params_d,
-                batch, with_asr=with_asr,
+                batch, with_asr=with_asr, deterministic=False, rngs=rngs,
             )
             return loss_g, (out, loss_g_adv, loss_enh)
 
@@ -272,6 +285,7 @@ def make_joint_train_step(
             opt_state_g=new_opt_g,
             params_d=new_params_d,
             opt_state_d=new_opt_d,
+            rng=rng_next,
         )
         metrics = {
             "loss_g": loss_g,

@@ -73,3 +73,19 @@ def test_train_and_decode_cli(manifest, tmp_path):
         "--batch-size", "4", "--greedy", "--length-buckets", "16000",
     ])
     assert os.path.exists(os.path.join(out2, "wer.json"))
+
+    # enhancement-only inference -> Kaldi ark/scp (SURVEY.md call stack 3.3)
+    from robust_e2e_gan_tpu.data import kaldi_io
+    from robust_e2e_gan_tpu.decode import enhance_cli
+
+    enh_out = str(tmp_path / "enh" / "feats")
+    enhance_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", enh_out,
+        "--batch-size", "4", "--length-buckets", "16000",
+        "--domain", "logmel",
+    ])
+    got = dict(kaldi_io.read_mat_scp(enh_out + ".scp"))
+    assert len(got) == 8
+    for k, m in got.items():
+        assert m.ndim == 2 and m.shape[1] == 24  # n_mels
+        assert np.isfinite(m).all()

@@ -130,3 +130,40 @@ def test_prefetcher(tmp_path, rng):
     assert len(fetched) == len(direct)
     for a, b in zip(direct, fetched):
         np.testing.assert_array_equal(a["noisy_wav"], b["noisy_wav"])
+
+
+def test_cmvn_stats_roundtrip(tmp_path, rng):
+    """Global CMVN accumulate -> Kaldi stats layout -> mean/inv_std
+    (reference Kaldi compute-cmvn-stats/apply-cmvn parity)."""
+    from robust_e2e_gan_tpu.data.cmvn import (
+        CmvnAccumulator,
+        load_cmvn_ark,
+        save_cmvn_ark,
+        stats_to_mean_inv_std,
+    )
+
+    feats = [rng.standard_normal((t, 5)).astype(np.float32) * 3.0 + 1.5
+             for t in (10, 17, 4)]
+    acc = CmvnAccumulator(5)
+    for f in feats:
+        acc.add(f)
+    allf = np.concatenate(feats)
+    mean, inv_std = acc.mean_inv_std()
+    np.testing.assert_allclose(mean, allf.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(inv_std, 1.0 / allf.std(0), rtol=1e-3)
+
+    p = str(tmp_path / "cmvn.ark")
+    save_cmvn_ark(acc.stats(), p)
+    stats = load_cmvn_ark(p)
+    m2, s2 = stats_to_mean_inv_std(stats)
+    np.testing.assert_allclose(m2, mean, rtol=1e-5)
+    np.testing.assert_allclose(s2, inv_std, rtol=1e-4)
+
+    # masked accumulation excludes pad rows
+    acc2 = CmvnAccumulator(5)
+    f = rng.standard_normal((8, 5)).astype(np.float32)
+    mask = np.array([1, 1, 1, 0, 0, 1, 0, 0], np.float32)
+    acc2.add(f, mask)
+    np.testing.assert_allclose(
+        acc2.mean_inv_std()[0], f[mask > 0].mean(0), rtol=1e-5
+    )

@@ -201,3 +201,92 @@ def test_enhancement_loss_masked(rng):
     a2[0, 5:] = 1e6
     l2 = enhancement_loss(jnp.asarray(a2), b, jnp.asarray(fm))
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_attention_variants(rng):
+    """AttAdd/AttDot parity of interface with AttLoc (SURVEY.md section 2a
+    'possibly AttDot/AttAdd variants'): shapes, masking, normalization."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.models.attention import (
+        EncoderProjection, initial_alignment, make_attention,
+    )
+
+    enc = jnp.asarray(rng.standard_normal((2, 7, 16)).astype(np.float32))
+    mask = np.ones((2, 7), np.float32)
+    mask[1, 4:] = 0.0
+    mask = jnp.asarray(mask)
+    dec_z = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+
+    for variant in ("location", "add", "dot"):
+        acfg = dataclasses.replace(ACFG, variant=variant)
+        proj = EncoderProjection(acfg)
+        pv = proj.init(jax.random.PRNGKey(0), enc)
+        ep = proj.apply(pv, enc)
+        att_mod = make_attention(acfg)
+        av = att_mod.init(
+            jax.random.PRNGKey(1), enc, ep, mask, dec_z,
+            initial_alignment(mask),
+        )
+        ctx, att = att_mod.apply(
+            av, enc, ep, mask, dec_z, initial_alignment(mask)
+        )
+        assert ctx.shape == (2, 16) and att.shape == (2, 7)
+        att_np = np.asarray(att)
+        assert np.all(att_np[1, 4:] == 0.0), variant
+        np.testing.assert_allclose(att_np.sum(-1), 1.0, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        make_attention(dataclasses.replace(ACFG, variant="nope"))
+
+
+def test_decoder_variant_end_to_end(rng):
+    """E2E forward works with each attention variant."""
+    import dataclasses
+
+    feats = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))
+    flens = jnp.asarray([12, 9], jnp.int32)
+    ys = jnp.asarray([[2, 3, -1], [4, 5, 6]], jnp.int32)
+    for variant in ("add", "dot"):
+        cfg = dataclasses.replace(
+            E2ECFG, attention=dataclasses.replace(ACFG, variant=variant)
+        )
+        m = E2E(cfg)
+        v = m.init(jax.random.PRNGKey(0), feats, flens, ys)
+        out = m.apply(v, feats, flens, ys)
+        assert np.isfinite(float(out["loss"]))
+
+
+def test_scheduled_sampling(rng):
+    """sampling_probability=1 must differ from teacher forcing; rngs make it
+    deterministic per key (SURVEY.md section 2a 'scheduled sampling')."""
+    import dataclasses
+
+    dcfg = dataclasses.replace(DCFG, sampling_probability=1.0)
+    dec = Decoder(dcfg, ACFG)
+    enc = jnp.asarray(rng.standard_normal((2, 9, 24)).astype(np.float32))
+    mask = jnp.ones((2, 9), jnp.float32)
+    ys_in = jnp.asarray([[1, 2, 3, 4], [1, 5, 6, 7]], jnp.int32)
+    v = dec.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        enc, mask, ys_in,
+    )
+    tf_logits, _ = dec.apply(v, enc, mask, ys_in, deterministic=True)
+    ss_logits, _ = dec.apply(
+        v, enc, mask, ys_in, deterministic=False,
+        rngs={"sampling": jax.random.PRNGKey(2)},
+    )
+    # step 0 identical (no previous prediction to sample)
+    np.testing.assert_allclose(
+        np.asarray(tf_logits[:, 0]), np.asarray(ss_logits[:, 0]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # later steps diverge (model predictions != gold with random params)
+    assert np.abs(np.asarray(tf_logits[:, 1:]) -
+                  np.asarray(ss_logits[:, 1:])).max() > 1e-4
+    # same rng -> same result
+    ss2, _ = dec.apply(
+        v, enc, mask, ys_in, deterministic=False,
+        rngs={"sampling": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_array_equal(np.asarray(ss_logits), np.asarray(ss2))
