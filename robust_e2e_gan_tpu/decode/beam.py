@@ -121,6 +121,83 @@ def batched_prefix_scores(
     return psi, rn_all, rb_all
 
 
+def batched_prefix_scores_parallel(
+    lpz: jnp.ndarray,
+    last_tok: jnp.ndarray,
+    lengths: jnp.ndarray,
+    r_n: jnp.ndarray,
+    r_b: jnp.ndarray,
+    blank: int,
+    eos: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scan-free CTC prefix scores (same contract as batched_prefix_scores).
+
+    The Watanabe recursions are first-order linear in the log semiring, so
+    they unroll into prefix sums: with X_t = cumsum_t log p(c'), and phi the
+    (input) transition scores,
+
+      r^n_t = X_t + logcumsumexp_t (phi_{t-1} - X_{t-1})
+      r^b_t = Bk_t + logcumsumexp_t (r^n_{t-1} - Bk_{t-1}),  Bk = cumsum blank
+      psi   = logsumexp_t (phi_{t-1} + x_t)
+
+    This replaces the frame-sequential lax.scan (the decode loop's longest
+    serial chain: T frames x L decode steps dependent iterations) with
+    cumsum/cumlogsumexp, which XLA lowers to log-depth parallel scans on the
+    VPU. Intermediate magnitudes are ~|X_T| (thousands of nats) — fine in
+    f32, and cumlogsumexp is internally max-shifted. Equivalence with the
+    sequential version is asserted in tests/test_beam.py.
+    """
+    b, t, v = lpz.shape
+    k = last_tok.shape[1]
+    vocab_ids = jnp.arange(v, dtype=jnp.int32)
+
+    r_sum = jnp.logaddexp(r_n, r_b)  # (B, K, T)
+    is_last = (
+        vocab_ids[None, None, None, :] == last_tok[:, :, None, None]
+    ) & (lengths[:, :, None, None] > 0)
+    log_phi = jnp.where(is_last, r_b[..., None], r_sum[..., None])
+    phi0 = jnp.where(lengths[:, :, None] == 0, 0.0, LOG_ZERO).astype(
+        jnp.float32
+    )
+    phi_prev = jnp.concatenate(
+        [jnp.broadcast_to(phi0[..., None], (b, k, 1, v)),
+         log_phi[:, :, :-1, :]],
+        axis=2,
+    )  # (B, K, T, V)
+
+    x = lpz[:, None]  # (B, 1, T, V) broadcast over beams
+    X = jnp.cumsum(lpz, axis=1)  # (B, T, V)
+    X_prev = jnp.concatenate(
+        [jnp.zeros((b, 1, v), jnp.float32), X[:, :-1]], axis=1
+    )
+    rn_all = X[:, None] + jax.lax.cumlogsumexp(
+        phi_prev - X_prev[:, None], axis=2
+    )  # (B, K, T, V)
+
+    bl = lpz[:, :, blank]  # (B, T)
+    Bk = jnp.cumsum(bl, axis=1)
+    Bk_prev = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.float32), Bk[:, :-1]], axis=1
+    )
+    rn_prev = jnp.concatenate(
+        [jnp.full((b, k, 1, v), LOG_ZERO, jnp.float32),
+         rn_all[:, :, :-1]],
+        axis=2,
+    )
+    rb_all = Bk[:, None, :, None] + jax.lax.cumlogsumexp(
+        rn_prev - Bk_prev[:, None, :, None], axis=2
+    )
+
+    psi = jax.scipy.special.logsumexp(phi_prev + x, axis=2)  # (B, K, V)
+    psi = jnp.maximum(psi, LOG_ZERO)
+    psi = psi.at[..., eos].set(r_sum[:, :, -1])
+    psi = psi.at[..., blank].set(LOG_ZERO)
+    # keep values bounded like the sequential version
+    rn_all = jnp.maximum(rn_all, LOG_ZERO)
+    rb_all = jnp.maximum(rb_all, LOG_ZERO)
+    return psi, jnp.moveaxis(rn_all, 2, 0), jnp.moveaxis(rb_all, 2, 0)
+
+
 def beam_search_from_encoder(
     step_fn: Callable,
     init_carry_fn: Callable,
@@ -190,7 +267,11 @@ def beam_search_from_encoder(
         ).reshape(b, k, v)
 
         # --- batched CTC prefix recursion over frames.
-        psi, rn_all, rb_all = batched_prefix_scores(
+        prefix_fn = (
+            batched_prefix_scores_parallel
+            if bcfg.prefix_impl == "parallel" else batched_prefix_scores
+        )
+        psi, rn_all, rb_all = prefix_fn(
             lpz, last_tok, lengths, r_n, r_b, blank, eos
         )
 

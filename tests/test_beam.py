@@ -199,3 +199,73 @@ def test_beam_finds_trained_transcript():
     for bi, lab in enumerate(labels):
         got = [int(x) for x in np.asarray(res.tokens[bi]) if x != -1]
         assert got == lab, (bi, got, lab)
+
+
+def test_parallel_prefix_matches_scan(rng):
+    """cumlogsumexp formulation == sequential scan recursion."""
+    import jax as _jax
+    from robust_e2e_gan_tpu.decode.beam import batched_prefix_scores_parallel
+
+    b, k, t, v = 2, 3, 15, 7
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    lpz = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    # simulate a mid-search state: random prefixes encoded as forward vars
+    prefixes = [[[], [4], [5, 4]], [[2], [3, 2, 3], [6]]]
+    r_n = np.full((b, k, t), LOG_ZERO, np.float32)
+    r_b = np.zeros((b, k, t), np.float32)
+    last = np.zeros((b, k), np.int32)
+    lens = np.zeros((b, k), np.int32)
+    for bi in range(b):
+        scorer = CTCPrefixScore(lpz[bi].astype(np.float64), BLANK, EOS)
+        for ki, y in enumerate(prefixes[bi]):
+            r = scorer.initial_state()
+            yy = [EOS]
+            for c in y:
+                _, rall = scorer(yy, r)
+                r = rall[:, :, c]
+                yy = yy + [c]
+            r_n[bi, ki], r_b[bi, ki] = r[:, 0], r[:, 1]
+            last[bi, ki] = y[-1] if y else EOS
+            lens[bi, ki] = len(y)
+
+    args = (jnp.asarray(lpz), jnp.asarray(last), jnp.asarray(lens),
+            jnp.asarray(r_n), jnp.asarray(r_b), BLANK, EOS)
+    psi_s, rn_s, rb_s = batched_prefix_scores(*args)
+    psi_p, rn_p, rb_p = batched_prefix_scores_parallel(*args)
+    np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_s),
+                               rtol=1e-4, atol=1e-3)
+    # forward vars only matter where finite; compare clipped
+    for a, c in ((rn_p, rn_s), (rb_p, rb_s)):
+        a, c = np.asarray(a), np.asarray(c)
+        m = c > 0.5 * LOG_ZERO
+        np.testing.assert_allclose(a[m], c[m], rtol=1e-4, atol=1e-3)
+        assert np.all(a[~m] < 0.4 * LOG_ZERO)
+
+
+def test_beam_parallel_impl_same_result():
+    """End-to-end: both prefix impls produce identical hypotheses."""
+    import dataclasses
+
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(11)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batch = make_batch(3, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(5), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    res = {}
+    for impl in ("scan", "parallel"):
+        bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.4, max_steps=8,
+                                prefix_impl=impl)
+        searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+        res[impl] = searcher(params, wav, lens)
+    np.testing.assert_array_equal(
+        np.asarray(res["scan"].tokens), np.asarray(res["parallel"].tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["scan"].scores), np.asarray(res["parallel"].scores),
+        rtol=1e-4, atol=1e-3,
+    )
