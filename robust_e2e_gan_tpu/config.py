@@ -38,6 +38,9 @@ class FrontendConfig:
     window: str = "povey"  # povey | hann | hamming
     log_floor: float = 1.1920928955078125e-07  # FLT_EPSILON, Kaldi log floor
     use_power: bool = True  # power spectrum (Kaldi default) vs magnitude
+    # feature normalization: per-utterance (ESPnet-style), global stats
+    # (Kaldi apply-cmvn with precomputed stats; see data/cmvn.py), or none.
+    cmvn: str = "utterance"  # utterance | global | none
 
     @property
     def n_freqs(self) -> int:
@@ -56,6 +59,7 @@ class EncoderConfig:
     proj_dim: int = 512  # projection after each BLSTM layer
     dropout_rate: float = 0.0
     subsample_factor: int = 4  # fixed by the two VGG 2x2 maxpools
+    remat: bool = False  # jax.checkpoint each BLSTM layer (HBM vs recompute)
 
 
 @dataclass(frozen=True)
@@ -96,6 +100,7 @@ class EnhancerConfig:
     hidden_dim: int = 512
     mask_floor: float = 0.0  # optional lower bound on the mask
     compression: str = "log1p"  # input compression: log1p | log | none
+    remat: bool = False  # jax.checkpoint each BLSTM layer
 
 
 @dataclass(frozen=True)
@@ -136,6 +141,9 @@ class JointConfig:
     lambda_adv: float = 1.0
     mu_enh: float = 1.0
     enh_loss: str = "l2"  # l2 | l1 on (enhanced, clean) spectra
+    # model compute dtype ("float32" | "bfloat16"); params stay float32
+    # (mixed precision: bf16 feeds the MXU, f32 master weights/accumulation)
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

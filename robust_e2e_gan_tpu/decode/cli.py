@@ -35,7 +35,7 @@ from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
 from robust_e2e_gan_tpu.ops.ctc import ctc_greedy_decode
 from robust_e2e_gan_tpu.ops.editdistance import wer_details
-from robust_e2e_gan_tpu.pipeline import RobustE2E
+from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
 from robust_e2e_gan_tpu.train.steps import init_train_state
 from robust_e2e_gan_tpu.utils import checkpoint as ckpt_lib
 
@@ -67,7 +67,7 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     tok_path = os.path.join(ckpt_dir, "tokenizer.json")
     tok = CharTokenizer.load(tok_path) if os.path.exists(tok_path) else None
 
-    model = RobustE2E(jcfg)
+    model = build_model(jcfg)
     disc = Discriminator(jcfg.discriminator)
     # template state from a tiny synthetic batch, then restore
     from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch

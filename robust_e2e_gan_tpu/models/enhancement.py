@@ -42,11 +42,14 @@ class EnhanceNet(nn.Module):
             x = jnp.log(jnp.maximum(noisy_power, 1e-7))
         else:
             x = noisy_power
+        from flax import linen as _nn
+
+        blstm_cls = _nn.remat(BLSTM) if self.cfg.remat else BLSTM
         h = x
         for i in range(self.cfg.num_layers):
-            h = BLSTM(self.cfg.hidden_dim, dtype=self.dtype, name=f"blstm{i}")(
-                h, frame_mask
-            )
+            h = blstm_cls(
+                self.cfg.hidden_dim, dtype=self.dtype, name=f"blstm{i}"
+            )(h, frame_mask)
         m = nn.Dense(self.cfg.input_dim, dtype=self.dtype, name="mask_out")(h)
         tf_mask = jax.nn.sigmoid(m)
         if self.cfg.mask_floor > 0.0:

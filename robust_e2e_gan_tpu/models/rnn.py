@@ -45,13 +45,16 @@ class LSTMScan(nn.Module):
     ) -> jnp.ndarray:
         b, t, d = x.shape
         h = self.hidden_dim
+        # Params are stored float32 (mixed-precision convention: master
+        # weights in f32, compute in self.dtype, accumulate f32 via
+        # preferred_element_type).
         wx = self.param(
-            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), self.dtype
-        )
+            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), jnp.float32
+        ).astype(self.dtype)
         wh = self.param(
-            "wh", nn.initializers.orthogonal(), (h, 4 * h), self.dtype
-        )
-        bias = self.param("bias", _lstm_bias_init, (4 * h,), self.dtype)
+            "wh", nn.initializers.orthogonal(), (h, 4 * h), jnp.float32
+        ).astype(self.dtype)
+        bias = self.param("bias", _lstm_bias_init, (4 * h,), jnp.float32)
 
         if mask is None:
             mask = jnp.ones((b, t), dtype=x.dtype)
@@ -145,9 +148,13 @@ class BLSTM(nn.Module):
     ) -> jnp.ndarray:
         b, t, d = x.shape
         h = self.hidden_dim
-        wx = self.param("wx", _stacked_xavier, (2, d, 4 * h), self.dtype)
-        wh = self.param("wh", _stacked_orthogonal, (2, h, 4 * h), self.dtype)
-        bias = self.param("bias", _stacked_lstm_bias, (2, 4 * h), self.dtype)
+        wx = self.param(
+            "wx", _stacked_xavier, (2, d, 4 * h), jnp.float32
+        ).astype(self.dtype)
+        wh = self.param(
+            "wh", _stacked_orthogonal, (2, h, 4 * h), jnp.float32
+        ).astype(self.dtype)
+        bias = self.param("bias", _stacked_lstm_bias, (2, 4 * h), jnp.float32)
 
         if mask is None:
             mask = jnp.ones((b, t), dtype=x.dtype)
@@ -202,6 +209,9 @@ class BLSTMP(nn.Module):
     proj_dim: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize each BLSTM layer in the backward
+    # pass (jax.checkpoint): trades recompute for activation HBM on long
+    # utterances
 
     @nn.compact
     def __call__(
@@ -210,9 +220,12 @@ class BLSTMP(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        blstm_cls = nn.remat(BLSTM) if self.remat else BLSTM
         h = x
         for i in range(self.num_layers):
-            h = BLSTM(self.hidden_dim, dtype=self.dtype, name=f"blstm{i}")(h, mask)
+            h = blstm_cls(
+                self.hidden_dim, dtype=self.dtype, name=f"blstm{i}"
+            )(h, mask)
             h = nn.Dense(
                 self.proj_dim, dtype=self.dtype, name=f"proj{i}"
             )(h)
@@ -238,10 +251,12 @@ class LSTMCell(nn.Module):
         d = x.shape[-1]
         h = self.hidden_dim
         wx = self.param(
-            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), self.dtype
-        )
-        wh = self.param("wh", nn.initializers.orthogonal(), (h, 4 * h), self.dtype)
-        bias = self.param("bias", _lstm_bias_init, (4 * h,), self.dtype)
+            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), jnp.float32
+        ).astype(self.dtype)
+        wh = self.param(
+            "wh", nn.initializers.orthogonal(), (h, 4 * h), jnp.float32
+        ).astype(self.dtype)
+        bias = self.param("bias", _lstm_bias_init, (4 * h,), jnp.float32)
         gates = (
             jnp.matmul(x.astype(self.dtype), wx, preferred_element_type=jnp.float32)
             + jnp.matmul(h_prev, wh, preferred_element_type=jnp.float32)

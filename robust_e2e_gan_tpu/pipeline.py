@@ -26,6 +26,18 @@ from robust_e2e_gan_tpu.models.enhancement import EnhanceNet
 from robust_e2e_gan_tpu.ops import fbank as fbank_ops
 
 
+def compute_dtype(jcfg: JointConfig) -> jnp.dtype:
+    """Resolve JointConfig.compute_dtype to a jnp dtype."""
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        jcfg.compute_dtype
+    ]
+
+
+def build_model(jcfg: JointConfig, cmvn_stats=None) -> "RobustE2E":
+    """Construct the flagship model honoring the configured compute dtype."""
+    return RobustE2E(jcfg, dtype=compute_dtype(jcfg), cmvn_stats=cmvn_stats)
+
+
 def frame_mask_from_wav_lengths(
     wav: jnp.ndarray, wav_lengths: Optional[jnp.ndarray], cfg: FrontendConfig
 ) -> Tuple[int, Optional[jnp.ndarray]]:
@@ -40,10 +52,17 @@ def frame_mask_from_wav_lengths(
 
 
 class RobustE2E(nn.Module):
-    """Enhancement generator + E2E ASR over raw waveforms."""
+    """Enhancement generator + E2E ASR over raw waveforms.
+
+    ``cmvn_stats``: (mean, inv_std) arrays for FrontendConfig.cmvn="global"
+    (Kaldi apply-cmvn semantics; stats from data/cmvn.py). Baked into the
+    compiled graph as constants — they are corpus statistics, not
+    parameters.
+    """
 
     cfg: JointConfig
     dtype: jnp.dtype = jnp.float32
+    cmvn_stats: Optional[Tuple] = None
 
     def setup(self):
         self.enhancer = EnhanceNet(self.cfg.enhancer, dtype=self.dtype)
@@ -75,7 +94,23 @@ class RobustE2E(nn.Module):
     ) -> jnp.ndarray:
         fcfg = self.cfg.e2e.frontend
         feats = fbank_ops.log_mel(power, fcfg)
-        return fbank_ops.utterance_cmvn(feats, fmask)
+        if fcfg.cmvn == "utterance":
+            return fbank_ops.utterance_cmvn(feats, fmask)
+        if fcfg.cmvn == "global":
+            if self.cmvn_stats is None:
+                raise ValueError(
+                    'FrontendConfig.cmvn="global" requires cmvn_stats='
+                    "(mean, inv_std) on RobustE2E (see data/cmvn.py)"
+                )
+            mean, inv_std = self.cmvn_stats
+            feats = fbank_ops.apply_cmvn(
+                feats, jnp.asarray(mean), jnp.asarray(inv_std)
+            )
+        elif fcfg.cmvn != "none":
+            raise ValueError(f"unknown cmvn mode {fcfg.cmvn!r}")
+        if fmask is not None:
+            feats = feats * fmask[..., None].astype(feats.dtype)
+        return feats
 
     def logmel_no_cmvn(self, power: jnp.ndarray) -> jnp.ndarray:
         """Un-normalized log-mel (discriminator input domain)."""

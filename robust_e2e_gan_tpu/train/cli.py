@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--lambda-adv", type=float, default=1.0)
     p.add_argument("--mu-enh", type=float, default=1.0)
+    p.add_argument("--compute-dtype", choices=("float32", "bfloat16"),
+                   default="float32")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint BLSTM layers (HBM vs recompute)")
+    p.add_argument("--cmvn", choices=("utterance", "global", "none"),
+                   default="utterance")
     # optimization
     p.add_argument("--optimizer", choices=("adadelta", "adam"),
                    default="adadelta")
@@ -93,10 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
 def configs_from_args(args, vocab_size: int):
     jcfg = JointConfig(
         e2e=E2EConfig(
-            frontend=FrontendConfig(n_mels=args.n_mels),
+            frontend=FrontendConfig(n_mels=args.n_mels, cmvn=args.cmvn),
             encoder=EncoderConfig(
                 input_dim=args.n_mels, num_layers=args.enc_layers,
                 hidden_dim=args.enc_hidden, proj_dim=args.enc_proj,
+                remat=args.remat,
             ),
             attention=AttentionConfig(dim=args.att_dim),
             decoder=DecoderConfig(
@@ -108,10 +115,12 @@ def configs_from_args(args, vocab_size: int):
         ),
         enhancer=EnhancerConfig(
             num_layers=args.enh_layers, hidden_dim=args.enh_hidden,
+            remat=args.remat,
         ),
         discriminator=DiscriminatorConfig(input_dim=args.n_mels),
         lambda_adv=args.lambda_adv,
         mu_enh=args.mu_enh,
+        compute_dtype=args.compute_dtype,
     )
     tcfg = TrainConfig(
         optimizer=args.optimizer, learning_rate=args.lr,

@@ -24,7 +24,7 @@ import numpy as np
 
 from robust_e2e_gan_tpu.config import JointConfig, TrainConfig
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
-from robust_e2e_gan_tpu.pipeline import RobustE2E
+from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
 from robust_e2e_gan_tpu.train import steps as steps_lib
 from robust_e2e_gan_tpu.utils import checkpoint as ckpt_lib
 from robust_e2e_gan_tpu.utils.logging import MetricLogger, StepTimer
@@ -71,7 +71,7 @@ def train(
         raise ValueError(f"mode must be one of {MODES}")
     from robust_e2e_gan_tpu.data.dataset import Prefetcher
 
-    model = RobustE2E(jcfg)
+    model = build_model(jcfg)
     disc = Discriminator(jcfg.discriminator)
 
     first = next(iter(train_batches()))
