@@ -31,6 +31,26 @@ from robust_e2e_gan_tpu.config import (  # noqa: F401
     EnhancerConfig,
     DiscriminatorConfig,
     E2EConfig,
+    BeamSearchConfig,
     TrainConfig,
     JointConfig,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package-import time for
+    pure-host tools like the Kaldi I/O utilities)."""
+    lazy = {
+        "RobustE2E": ("robust_e2e_gan_tpu.pipeline", "RobustE2E"),
+        "build_model": ("robust_e2e_gan_tpu.pipeline", "build_model"),
+        "make_beam_searcher": (
+            "robust_e2e_gan_tpu.decode.beam", "make_beam_searcher"
+        ),
+        "train": ("robust_e2e_gan_tpu.train.loop", "train"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

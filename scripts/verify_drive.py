@@ -14,6 +14,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from robust_e2e_gan_tpu.config import (
     AttentionConfig, BeamSearchConfig, DecoderConfig, DiscriminatorConfig,
     E2EConfig, EncoderConfig, EnhancerConfig, FrontendConfig, JointConfig,

@@ -23,6 +23,10 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
+from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

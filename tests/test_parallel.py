@@ -105,3 +105,39 @@ def test_dp_tp_mesh_runs():
     jax.block_until_ready(m2)
     assert np.isfinite(float(m2["loss_g"]))
     assert np.isfinite(float(m2["loss_d"]))
+
+
+def test_dp_beam_decode_matches_single_device():
+    """Batched beam search sharded 8-way over the data axis == unsharded
+    (data-parallel serving: shard the utterance batch, XLA replicates the
+    decode program per shard)."""
+    from robust_e2e_gan_tpu.config import BeamSearchConfig
+    from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
+    from robust_e2e_gan_tpu.parallel import replicated
+
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(2)
+    batch = make_batch(8, SCFG, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(1), wav[:2], lens[:2],
+        jnp.asarray(batch["labels"][:2]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=6)
+    searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+
+    res1 = searcher(params, wav, lens)
+
+    mesh = make_mesh(8, 1)
+    sharded = shard_batch({"w": wav, "l": lens}, mesh)
+    params_r = jax.device_put(params, replicated(mesh))
+    res8 = searcher(params_r, sharded["w"], sharded["l"])
+
+    np.testing.assert_array_equal(
+        np.asarray(res1.tokens), np.asarray(res8.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.scores), np.asarray(res8.scores), rtol=1e-4, atol=1e-4
+    )
