@@ -67,7 +67,15 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     tok_path = os.path.join(ckpt_dir, "tokenizer.json")
     tok = CharTokenizer.load(tok_path) if os.path.exists(tok_path) else None
 
-    model = build_model(jcfg)
+    cmvn_stats = None
+    cmvn_ark = os.path.join(ckpt_dir, "cmvn.ark")
+    if jcfg.e2e.frontend.cmvn == "global" and os.path.exists(cmvn_ark):
+        from robust_e2e_gan_tpu.data.cmvn import (
+            load_cmvn_ark, stats_to_mean_inv_std,
+        )
+
+        cmvn_stats = stats_to_mean_inv_std(load_cmvn_ark(cmvn_ark))
+    model = build_model(jcfg, cmvn_stats=cmvn_stats)
     disc = Discriminator(jcfg.discriminator)
     # template state from a tiny synthetic batch, then restore
     from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
@@ -80,6 +88,10 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     }
     tcfg = cfg_lib.from_dict(TrainConfig, saved["train"])
     state, _, _ = init_train_state(model, disc, tcfg, sample, seed=0)
+    if which == "best" and not ckpt_lib.has_checkpoint(ckpt_dir, "best"):
+        # runs without a dev set never record a 'best' entry
+        print("no 'best' checkpoint (no dev metric); using 'latest'")
+        which = "latest"
     state, step = ckpt_lib.restore_checkpoint(ckpt_dir, state, which)
     return model, disc, state, jcfg, tok, step
 

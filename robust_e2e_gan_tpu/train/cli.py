@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.checkpoint BLSTM layers (HBM vs recompute)")
     p.add_argument("--cmvn", choices=("utterance", "global", "none"),
                    default="utterance")
+    p.add_argument("--cmvn-ark",
+                   help="Kaldi CMVN stats ark for --cmvn global "
+                        "(data/cmvn.py layout)")
     # optimization
     p.add_argument("--optimizer", choices=("adadelta", "adam"),
                    default="adadelta")
@@ -208,6 +211,18 @@ def main(argv: Optional[list] = None) -> None:
     if tok is not None:
         tok.save(os.path.join(args.ckpt_dir, "tokenizer.json"))
 
+    cmvn_stats = None
+    if args.cmvn == "global":
+        if not args.cmvn_ark:
+            raise SystemExit("--cmvn global requires --cmvn-ark")
+        from robust_e2e_gan_tpu.data.cmvn import (
+            load_cmvn_ark, stats_to_mean_inv_std,
+        )
+        import shutil
+
+        cmvn_stats = stats_to_mean_inv_std(load_cmvn_ark(args.cmvn_ark))
+        shutil.copy(args.cmvn_ark, os.path.join(args.ckpt_dir, "cmvn.ark"))
+
     mesh = None
     if args.mesh_data > 1:
         from robust_e2e_gan_tpu.parallel import make_mesh
@@ -219,7 +234,7 @@ def main(argv: Optional[list] = None) -> None:
     train(
         jcfg, tcfg, train_b, dev_batches=dev_b, mode=args.mode, mesh=mesh,
         log_dir=args.ckpt_dir, resume=not args.no_resume,
-        init_from=args.init_from,
+        init_from=args.init_from, cmvn_stats=cmvn_stats,
     )
 
 

@@ -55,6 +55,7 @@ def train(
     resume: bool = True,
     init_from: Optional[str] = None,
     prefetch_depth: int = 2,
+    cmvn_stats=None,
 ):
     """Run ``tcfg.num_epochs`` of the selected regime; returns final state.
 
@@ -71,7 +72,7 @@ def train(
         raise ValueError(f"mode must be one of {MODES}")
     from robust_e2e_gan_tpu.data.dataset import Prefetcher
 
-    model = build_model(jcfg)
+    model = build_model(jcfg, cmvn_stats=cmvn_stats)
     disc = Discriminator(jcfg.discriminator)
 
     first = next(iter(train_batches()))

@@ -100,6 +100,25 @@ def main(steps=500):
     assert wer_g["error_rate"] <= 0.05, wer_g
     assert wer_b["error_rate"] <= wer_g["error_rate"] + 1e-9, (wer_b, wer_g)
 
+    # ---- bf16 serving parity: same f32 params, bf16 compute (bench path)
+    import dataclasses
+
+    from robust_e2e_gan_tpu.pipeline import build_model
+
+    model_bf16 = build_model(
+        dataclasses.replace(JCFG, compute_dtype="bfloat16")
+    )
+    searcher_bf = make_beam_searcher(
+        model_bf16, JCFG.e2e, bcfg, use_enhancer=True
+    )
+    res_bf = searcher_bf(params, wav, lens)
+    hyps_bf = [
+        [int(x) for x in row if x != -1] for row in np.asarray(res_bf.tokens)
+    ]
+    wer_bf = wer_details(refs, hyps_bf)
+    print("beam   WER (bf16 compute):", wer_bf)
+    assert wer_bf["error_rate"] <= wer_b["error_rate"] + 0.02, (wer_bf, wer_b)
+
     # ---- probes
     e1, m1, f1 = model.apply({"params": params}, wav[:1], lens[:1],
                              method=RobustE2E.enhance)

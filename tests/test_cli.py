@@ -89,3 +89,35 @@ def test_train_and_decode_cli(manifest, tmp_path):
     for k, m in got.items():
         assert m.ndim == 2 and m.shape[1] == 24  # n_mels
         assert np.isfinite(m).all()
+
+
+def test_global_cmvn_cli(manifest, tmp_path):
+    """--cmvn global end-to-end: stats ark -> train -> decode reloads it."""
+    from robust_e2e_gan_tpu.data.cmvn import CmvnAccumulator, save_cmvn_ark
+
+    acc = CmvnAccumulator(24)
+    acc.add(np.random.default_rng(0).standard_normal((50, 24)) * 2 + 1)
+    ark = str(tmp_path / "cmvn.ark")
+    save_cmvn_ark(acc.stats(), ark)
+
+    ckpt = str(tmp_path / "exp_cmvn")
+    train_cli.main([
+        "--mode", "asr",
+        "--train-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+        "--cmvn", "global", "--cmvn-ark", ark,
+    ])
+    assert os.path.exists(os.path.join(ckpt, "cmvn.ark"))
+
+    out = str(tmp_path / "dec_cmvn")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
+        "--batch-size", "4", "--greedy", "--length-buckets", "16000",
+    ])
+    with open(os.path.join(out, "wer.json")) as f:
+        assert json.load(f)["n_utts"] == 8
