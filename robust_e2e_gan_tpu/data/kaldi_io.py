@@ -18,7 +18,6 @@ native path is npz/jsonl (data/dataset.py); gate with a clear error.
 
 from __future__ import annotations
 
-import io
 import os
 import struct
 from typing import BinaryIO, Dict, Iterator, Tuple

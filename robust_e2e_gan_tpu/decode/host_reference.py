@@ -16,7 +16,7 @@ decode/ctc_prefix.py, which tests separately against the batched scan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List
 
 import numpy as np

@@ -18,7 +18,7 @@ the 'sampling' rng collection, split per scan step.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ torch.nn.CTCLoss as an oracle in tests/test_ctc.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,6 @@ Usage (CHiME-4-style data prepped as jsonl manifests or Kaldi scp):
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import Optional
 

@@ -24,7 +24,7 @@ import numpy as np
 
 from robust_e2e_gan_tpu.config import JointConfig, TrainConfig
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
-from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
+from robust_e2e_gan_tpu.pipeline import build_model
 from robust_e2e_gan_tpu.train import steps as steps_lib
 from robust_e2e_gan_tpu.utils import checkpoint as ckpt_lib
 from robust_e2e_gan_tpu.utils.logging import MetricLogger, StepTimer

@@ -184,7 +184,6 @@ def drive_loop_and_data():
     state1, _, _ = train(jcfg2, tcfg, batches, dev_batches=batches,
                          mode="joint", log_dir=f"{tmp}/logs")
     assert ckpt.has_checkpoint(tcfg.checkpoint_dir, "best")
-    from dataclasses import replace as rep
     tcfg2 = TrainConfig(optimizer="adadelta", learning_rate=1.0,
                         num_epochs=2, checkpoint_dir=f"{tmp}/ck", log_every=2)
     state2, _, _ = train(jcfg2, tcfg2, batches, dev_batches=batches,
