@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-enhancer", action="store_true",
                    help="decode raw noisy features (cascade-off baseline)")
     p.add_argument("--length-buckets", default="32000,64000,112000,160000")
+    p.add_argument("--nbest", type=int, default=0,
+                   help="also write the top-N beam hypotheses per utterance "
+                        "to nbest.jsonl")
+    p.add_argument("--dump-attention", action="store_true",
+                   help="save teacher-forced attention maps (per-utterance "
+                        ".npy under <out>/att) — the reference's attention "
+                        "visualization")
     return p
 
 
@@ -122,9 +129,30 @@ def main(argv: Optional[list] = None) -> None:
         )
         return ctc_greedy_decode(ctc_logits, hlens, jcfg.e2e.blank_id)
 
+    if args.dump_attention:
+        from robust_e2e_gan_tpu.models.e2e import add_sos_eos
+
+        @jax.jit
+        def attention_fn(params, wav, lens, ys_pad):
+            hs, hmask, hlens, _, _ = model.apply(
+                {"params": params}, wav, lens, use_enh,
+                method=RobustE2E.encode_for_decode,
+            )
+            ys_in, _, _ = add_sos_eos(
+                ys_pad, jcfg.e2e.sos_id, jcfg.e2e.eos_id, jcfg.e2e.ignore_id
+            )
+
+            def run_dec(mdl, h, hm, y):
+                return mdl.asr.decoder(h, hm, y)
+
+            _, atts = model.apply(
+                {"params": params}, hs, hmask, ys_in, method=run_dec
+            )
+            return atts, hlens
+
     out_dir = args.out or os.path.join(args.ckpt_dir, "decode")
     os.makedirs(out_dir, exist_ok=True)
-    refs, hyps, lines = [], [], []
+    refs, hyps, lines, nbest_rows = [], [], [], []
     for batch in batcher.epoch(shuffle=False):
         wav = jnp.asarray(batch["noisy_wav"])
         lens = jnp.asarray(batch["wav_lengths"])
@@ -135,6 +163,35 @@ def main(argv: Optional[list] = None) -> None:
             res = searcher(state.params_g, wav, lens)
             toks = np.asarray(res.tokens)
             batch_hyps = [[int(x) for x in row if x != -1] for row in toks]
+            if args.nbest > 0:
+                bt = np.asarray(res.beam_tokens)
+                bl = np.asarray(res.beam_lengths)
+                bs = np.asarray(res.beam_scores)
+                order = np.argsort(-bs, axis=1)
+                for j, uid in enumerate(batch["utt_ids"]):
+                    entries = []
+                    for k in order[j][: args.nbest]:
+                        htoks = [
+                            int(x) for x in bt[j, k, : bl[j, k]] if x != -1
+                        ]
+                        entries.append({
+                            "tokens": htoks,
+                            "text": tok.decode(htoks) if tok else None,
+                            "score": float(bs[j, k]),
+                        })
+                    nbest_rows.append({"utt_id": uid, "nbest": entries})
+        if args.dump_attention:
+            atts, hlens = attention_fn(
+                state.params_g, wav, lens, jnp.asarray(batch["labels"])
+            )
+            atts = np.asarray(atts)
+            os.makedirs(os.path.join(out_dir, "att"), exist_ok=True)
+            for j, uid in enumerate(batch["utt_ids"]):
+                n_lab = int(np.sum(batch["labels"][j] != -1)) + 1
+                np.save(
+                    os.path.join(out_dir, "att", f"{uid}.npy"),
+                    atts[j, :n_lab, : int(hlens[j])],
+                )
         for uid, lab_row, hyp in zip(
             batch["utt_ids"], batch["labels"], batch_hyps
         ):
@@ -143,6 +200,10 @@ def main(argv: Optional[list] = None) -> None:
             hyps.append(hyp)
             text = tok.decode(hyp) if tok else " ".join(map(str, hyp))
             lines.append(f"{uid} {text}")
+
+    if nbest_rows:
+        with open(os.path.join(out_dir, "nbest.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in nbest_rows) + "\n")
 
     with open(os.path.join(out_dir, "hyp.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -121,3 +121,37 @@ def test_global_cmvn_cli(manifest, tmp_path):
     ])
     with open(os.path.join(out, "wer.json")) as f:
         assert json.load(f)["n_utts"] == 8
+
+
+def test_nbest_and_attention_dump(manifest, tmp_path):
+    """--nbest writes ranked beam hypotheses; --dump-attention writes
+    per-utterance teacher-forced alignment maps."""
+    ckpt = str(tmp_path / "exp_nb")
+    train_cli.main([
+        "--mode", "asr",
+        "--train-manifest", manifest, "--dev-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+    ])
+    out = str(tmp_path / "dec_nb")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
+        "--batch-size", "4", "--beam-size", "3", "--max-steps", "6",
+        "--length-buckets", "16000", "--nbest", "2", "--dump-attention",
+    ])
+    rows = [json.loads(l) for l in
+            open(os.path.join(out, "nbest.jsonl")) if l.strip()]
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["nbest"]) == 2
+        scores = [e["score"] for e in r["nbest"]]
+        assert scores == sorted(scores, reverse=True)
+    att_files = os.listdir(os.path.join(out, "att"))
+    assert len(att_files) == 8
+    a = np.load(os.path.join(out, "att", att_files[0]))
+    assert a.ndim == 2 and np.all(a >= 0)
+    np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-4)
