@@ -235,20 +235,43 @@ class BucketBatcher:
             max(u.n_samples for u in utts), self.buckets
         )
         b = len(utts)
-        noisy = np.zeros((b, pad_to), np.float32)
-        clean = np.zeros((b, pad_to), np.float32)
-        lengths = np.zeros((b,), np.int32)
         labels = np.full((b, self.max_label_len), self.ignore_id, np.int32)
         ids = []
         for j, u in enumerate(utts):
-            nw, cw = u.load()
-            n = min(len(nw), pad_to)
-            noisy[j, :n] = nw[:n]
-            clean[j, :n] = cw[:n]
-            lengths[j] = n
             toks = self.ds.tokenizer.encode(u.text)[: self.max_label_len]
             labels[j, : len(toks)] = toks
             ids.append(u.utt_id)
+
+        loaded = None
+        if all(u.noisy_path is not None for u in utts):
+            # native hot path: threaded C++ .npy batch read + pad
+            # (csrc/dataloader.cpp); None -> no toolchain, fall back.
+            from robust_e2e_gan_tpu.utils.native import native_load_npy_batch
+
+            res = native_load_npy_batch(
+                [u.noisy_path for u in utts], pad_to
+            )
+            if res is not None:
+                noisy, nlens = res
+                clean, _ = native_load_npy_batch(
+                    [u.clean_path or u.noisy_path for u in utts], pad_to
+                )
+                lengths = np.minimum(nlens, pad_to).astype(np.int32)
+                loaded = (noisy, clean, lengths)
+
+        if loaded is None:
+            noisy = np.zeros((b, pad_to), np.float32)
+            clean = np.zeros((b, pad_to), np.float32)
+            lengths = np.zeros((b,), np.int32)
+            for j, u in enumerate(utts):
+                nw, cw = u.load()
+                n = min(len(nw), pad_to)
+                noisy[j, :n] = nw[:n]
+                clean[j, :n] = cw[:n]
+                lengths[j] = n
+            loaded = (noisy, clean, lengths)
+
+        noisy, clean, lengths = loaded
         return {
             "noisy_wav": noisy,
             "clean_wav": clean,

@@ -28,17 +28,21 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+_SOURCES = ("editdistance.cpp", "dataloader.cpp")
+
+
 def _build() -> Optional[str]:
-    src = os.path.join(_CSRC, "editdistance.cpp")
-    if not os.path.exists(src):
+    srcs = [os.path.join(_CSRC, s) for s in _SOURCES]
+    srcs = [s for s in srcs if os.path.exists(s)]
+    if not srcs:
         return None
-    if os.path.exists(_SO_PATH) and (
-        os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)
+    if os.path.exists(_SO_PATH) and all(
+        os.path.getmtime(_SO_PATH) >= os.path.getmtime(s) for s in srcs
     ):
         return _SO_PATH
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        src, "-o", _SO_PATH,
+        *srcs, "-o", _SO_PATH,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -74,6 +78,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ]
+        if hasattr(lib, "rg_load_npy_batch_f32"):
+            lib.rg_load_npy_batch_f32.restype = ctypes.c_int64
+            lib.rg_load_npy_batch_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ]
         _lib = lib
         return _lib
 
@@ -130,3 +141,29 @@ def native_edit_distance_corpus(
         len(r_ids), out.ctypes.data_as(p64), n_threads,
     )
     return out, int(total)
+
+
+def native_load_npy_batch(
+    paths: Sequence[str], pad_to: int, n_threads: int = 0
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded C++ batch load of 1-D float .npy files into a zero-padded
+    (N, pad_to) float32 array. Returns (batch, true_lengths) or None if the
+    native lib is unavailable; raises on unreadable/ill-formed files (the
+    Python fallback would too)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rg_load_npy_batch_f32"):
+        return None
+    n = len(paths)
+    out = np.zeros((n, pad_to), np.float32)
+    lens = np.zeros((n,), np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.rg_load_npy_batch_f32(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pad_to, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"native npy batch load failed on {paths[int(-rc - 1)]}")
+    return out, lens
