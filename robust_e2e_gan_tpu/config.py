@@ -157,6 +157,13 @@ class BeamSearchConfig:
     penalty: float = 0.0  # per-token insertion bonus
     max_steps: int = 64  # static decode-step count (>= longest transcript)
     min_len: int = 1  # eos masked below this output length
+    # Per-utterance length bounds as ratios of the encoded length (reference
+    # recog_args maxlenratio/minlenratio). 0 disables. min_len and
+    # minlen_ratio compose (the max of both applies); maxlen_ratio forces
+    # eos once an utterance's output reaches ratio * hlen, bounded by the
+    # static max_steps.
+    maxlen_ratio: float = 0.0
+    minlen_ratio: float = 0.0
     length_normalize: bool = False  # normalize final scores by length
     # CTC prefix recursion implementation. "scan" (sequential lax.scan over
     # frames) measures 47 ms vs 4800 ms for "parallel" (cumlogsumexp) on the

@@ -251,6 +251,25 @@ def beam_search_from_encoder(
     last_tok = jnp.full((b, k), ecfg.sos_id, jnp.int32)
     psi_g = jnp.zeros((b, k), jnp.float32)
 
+    # Per-utterance length bounds (reference maxlenratio/minlenratio over
+    # the encoded length); static max_steps remains the hard ceiling.
+    min_len_b = jnp.full((b, 1), bcfg.min_len, jnp.int32)
+    if bcfg.minlen_ratio > 0.0:
+        min_len_b = jnp.maximum(
+            min_len_b,
+            jnp.ceil(bcfg.minlen_ratio * hlens.astype(jnp.float32))
+            .astype(jnp.int32)[:, None],
+        )
+    if bcfg.maxlen_ratio > 0.0:
+        max_len_b = jnp.maximum(
+            jnp.floor(bcfg.maxlen_ratio * hlens.astype(jnp.float32))
+            .astype(jnp.int32),
+            1,
+        )[:, None]
+        max_len_b = jnp.minimum(max_len_b, l - 1)
+    else:
+        max_len_b = jnp.full((b, 1), l - 1, jnp.int32)
+
     vocab_ids = jnp.arange(v, dtype=jnp.int32)
 
     def decode_step(carry, i):
@@ -284,13 +303,15 @@ def beam_search_from_encoder(
         # blank is never a label candidate; eos masked below min length.
         cand = cand.at[..., blank].set(2.0 * LOG_ZERO)
         cand = cand.at[..., eos].set(
-            jnp.where(lengths < bcfg.min_len, 2.0 * LOG_ZERO, cand[..., eos])
+            jnp.where(lengths < min_len_b, 2.0 * LOG_ZERO, cand[..., eos])
         )
         # finished hypotheses: frozen, eos-only continuation.
         cand_fin = jnp.full((b, k, v), 2.0 * LOG_ZERO).at[..., eos].set(scores)
         cand = jnp.where(finished[..., None], cand_fin, cand)
-        # last step: force eos so every hypothesis is fully scored.
-        force_eos = (i == l - 1) & (vocab_ids[None, None, :] != eos)
+        # force eos at each utterance's max length (and at the last step)
+        # so every hypothesis is fully scored.
+        at_limit = (i == l - 1) | (lengths >= max_len_b)  # (B, K)
+        force_eos = at_limit[..., None] & (vocab_ids[None, None, :] != eos)
         cand = jnp.where(force_eos & ~finished[..., None], 2.0 * LOG_ZERO, cand)
 
         # --- prune to K over all K*V candidates.

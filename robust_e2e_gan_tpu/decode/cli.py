@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ctc-weight", type=float, default=0.3)
     p.add_argument("--penalty", type=float, default=0.0)
     p.add_argument("--max-steps", type=int, default=128)
+    p.add_argument("--maxlen-ratio", type=float, default=0.0,
+                   help="cap output length at ratio * encoded length")
+    p.add_argument("--minlen-ratio", type=float, default=0.0)
     p.add_argument("--greedy", action="store_true",
                    help="greedy CTC decode instead of beam search")
     p.add_argument("--no-enhancer", action="store_true",
@@ -117,6 +120,7 @@ def main(argv: Optional[list] = None) -> None:
     bcfg = BeamSearchConfig(
         beam_size=args.beam_size, ctc_weight=args.ctc_weight,
         penalty=args.penalty, max_steps=args.max_steps,
+        maxlen_ratio=args.maxlen_ratio, minlen_ratio=args.minlen_ratio,
     )
     use_enh = not args.no_enhancer
     searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=use_enh)

@@ -70,6 +70,13 @@ def recognize_beam_host(
     mask_b = jnp.asarray(enc_mask[None])
     proj_b = jnp.asarray(enc_proj[None])
 
+    min_len = bcfg.min_len
+    if bcfg.minlen_ratio > 0.0:
+        min_len = max(min_len, int(np.ceil(bcfg.minlen_ratio * hlen)))
+    max_len = bcfg.max_steps - 1
+    if bcfg.maxlen_ratio > 0.0:
+        max_len = min(max_len, max(int(bcfg.maxlen_ratio * hlen), 1))
+
     init = Hypothesis(
         tokens=[], last=sos, score=0.0, psi=0.0,
         r=scorer.initial_state(), carry=init_carry_fn(1, mask_b),
@@ -97,9 +104,10 @@ def recognize_beam_host(
             joint = hyp.score + (1.0 - cw) * att_lp \
                 + cw * (psi - hyp.psi) + bcfg.penalty
             joint[blank] = 2.0 * LOG_ZERO
-            if len(hyp.tokens) < bcfg.min_len:
+            if len(hyp.tokens) < min_len:
                 joint[eos] = 2.0 * LOG_ZERO
-            allowed = range(v) if i < bcfg.max_steps - 1 else [eos]
+            at_limit = i == bcfg.max_steps - 1 or len(hyp.tokens) >= max_len
+            allowed = [eos] if at_limit else range(v)
             for c in allowed:
                 c = int(c)
                 cands.append(Hypothesis(

@@ -5,6 +5,7 @@ from robust_e2e_gan_tpu.parallel.sharding import (
     local_batch_size,
     make_mesh,
     partition_rule,
+    process_batch_slice,
     replicated,
     shard_batch,
     shard_params,
@@ -18,6 +19,7 @@ __all__ = [
     "local_batch_size",
     "make_mesh",
     "partition_rule",
+    "process_batch_slice",
     "replicated",
     "shard_batch",
     "shard_params",

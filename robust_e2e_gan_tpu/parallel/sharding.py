@@ -133,6 +133,19 @@ def shard_train_state(state: Any, mesh: Mesh, min_shard_dim: int = 512) -> Any:
     return shard_params(state, mesh, min_shard_dim)
 
 
+def process_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally-indexed batch (multi-host feeding:
+    each process materializes only its shard of the global batch before
+    ``shard_batch``; single-process -> the whole range). SURVEY.md section
+    2c "sharded host data loading"."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} % processes {n} != 0")
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.shape[DATA_AXIS]
     if global_batch % n:

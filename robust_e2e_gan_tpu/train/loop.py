@@ -56,6 +56,7 @@ def train(
     init_from: Optional[str] = None,
     prefetch_depth: int = 2,
     cmvn_stats=None,
+    save_every_steps: int = 0,
 ):
     """Run ``tcfg.num_epochs`` of the selected regime; returns final state.
 
@@ -120,6 +121,11 @@ def train(
             if step % tcfg.log_every == 0:
                 jax.block_until_ready(metrics)
                 logger.log(step, metrics, prefix=f"epoch {epoch} ")
+            if save_every_steps and step % save_every_steps == 0:
+                # preemption safety net between the per-epoch checkpoints
+                ckpt_lib.save_checkpoint(
+                    tcfg.checkpoint_dir, state, step, metric=None, keep=3,
+                )
             timer.toc()
 
         # ---- dev evaluation (mean over dev batches)

@@ -269,3 +269,59 @@ def test_beam_parallel_impl_same_result():
         np.asarray(res["scan"].scores), np.asarray(res["parallel"].scores),
         rtol=1e-4, atol=1e-3,
     )
+
+
+def test_length_ratio_bounds():
+    """maxlen_ratio caps output length per utterance; minlen_ratio delays
+    eos; device == host oracle with ratios active."""
+    import dataclasses
+
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(4)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=3, max_tokens=5)
+    batch = make_batch(2, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(9), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    variables = {"params": params}
+
+    hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+        variables, wav, lens, True, method=RobustE2E.encode_for_decode,
+    )
+    lpz = np.asarray(jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1))
+
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.3, max_steps=10,
+        maxlen_ratio=0.3, minlen_ratio=0.1,
+    )
+    searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+    res = searcher(params, wav, lens)
+
+    for i in range(2):
+        hl = int(hlens[i])
+        max_len = min(bcfg.max_steps - 1, max(int(0.3 * hl), 1))
+        min_len = max(1, int(np.ceil(0.1 * hl)))
+        n = int(res.lengths[i])
+        assert min_len <= n <= max_len, (i, n, min_len, max_len)
+
+    def step_fn(carry, toks, enc, proj, emask):
+        return model.apply(
+            variables, carry, toks, enc, proj, emask,
+            method=RobustE2E.decoder_step,
+        )
+
+    def init_fn(n, emask):
+        return model.apply(
+            variables, n, emask, method=RobustE2E.decoder_initial_carry,
+        )
+
+    for i in range(2):
+        toks, score = recognize_beam_host(
+            step_fn, init_fn, np.asarray(hs[i]), np.asarray(hmask[i]),
+            int(hlens[i]), np.asarray(enc_proj[i]), lpz[i], JCFG.e2e, bcfg,
+        )
+        dev_toks = [int(x) for x in np.asarray(res.tokens[i]) if x != -1]
+        assert dev_toks == toks, (i, dev_toks, toks)
