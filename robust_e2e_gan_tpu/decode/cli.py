@@ -108,6 +108,9 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
 
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
+    from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     model, disc, state, jcfg, tok, step = load_experiment(
         args.ckpt_dir, args.which
     )

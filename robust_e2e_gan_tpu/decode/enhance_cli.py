@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
+    from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     model, disc, state, jcfg, tok, step = load_experiment(
         args.ckpt_dir, args.which
     )

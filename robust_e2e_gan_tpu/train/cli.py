@@ -195,6 +195,9 @@ def _corpus_factories(args):
 
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
+    from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.synthetic:
         train_b, dev_b, vocab, tok = _synthetic_factories(args)
     else:
