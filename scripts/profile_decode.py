@@ -1,7 +1,12 @@
 """Profile the decode pipeline: per-stage timing + optional Perfetto trace.
 
 SURVEY.md section 5 "Tracing/profiling" row: the reference had none; the
-TPU-native plan is jax.profiler traces + per-step timing. Usage:
+TPU-native plan is jax.profiler traces + per-step timing.
+
+NOTE: on the remote-tunnel TPU platform every host-synced call pays a
+~30 ms round-trip floor (measured: jnp.sum of a resident 17.8 MB array =
+29.9 ms), so ABSOLUTE stage times are RTT-dominated; read the DELTAS
+between stages, or use --trace and read the device timeline. Usage:
 
   PYTHONPATH=/root/repo python scripts/profile_decode.py [--trace DIR]
 """
@@ -58,12 +63,14 @@ def main():
         use_enhancer=True, method=RobustE2E.asr_forward,
     )["params"]
 
-    stft = jax.jit(lambda p, w, l: model.apply(
-        {"params": p}, w, l, method=RobustE2E.noisy_power)[0])
-    enh = jax.jit(lambda p, w, l: model.apply(
-        {"params": p}, w, l, method=RobustE2E.enhance)[0])
-    enc = jax.jit(lambda p, w, l: model.apply(
-        {"params": p}, w, l, True, method=RobustE2E.encode_for_decode)[2])
+    # each stage returns a scalar so timing measures compute, not the
+    # multi-MB device->host fetch of intermediate tensors over the tunnel
+    stft = jax.jit(lambda p, w, l: jnp.sum(model.apply(
+        {"params": p}, w, l, method=RobustE2E.noisy_power)[0]))
+    enh = jax.jit(lambda p, w, l: jnp.sum(model.apply(
+        {"params": p}, w, l, method=RobustE2E.enhance)[0]))
+    enc = jax.jit(lambda p, w, l: jnp.sum(model.apply(
+        {"params": p}, w, l, True, method=RobustE2E.encode_for_decode)[0]))
     searcher = make_beam_searcher(
         model, jcfg.e2e,
         BeamSearchConfig(beam_size=args.beam, max_steps=args.steps),
