@@ -32,19 +32,24 @@ from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
 from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
 
 
-def _timed(fn, min_seconds=5.0, max_iters=200):
-    """Throughput timing with a hard host sync per call.
+def _timed(fn, min_seconds=5.0, max_iters=200, chunk=8):
+    """Throughput timing with amortized hard host syncs.
 
-    ``fn`` must return a device array; fetching it to host each iteration is
-    a data dependency the async dispatch queue cannot skip (the experimental
-    remote-TPU platform has been observed returning early from
-    block_until_ready).
+    ``fn`` must return a device array. `block_until_ready` has been
+    observed returning early on the remote-tunnel platform, so the sync is
+    an np.asarray fetch — but each synced call pays the tunnel's ~30 ms
+    round-trip floor, so ``chunk`` calls are dispatched per fetch: the
+    single device executes the queue in order, making the final fetch a
+    completion barrier for all of them.
     """
     np.asarray(fn())  # warm (already compiled)
     n, t0 = 0, time.perf_counter()
     while True:
-        np.asarray(fn())
-        n += 1
+        out = None
+        for _ in range(chunk):
+            out = fn()
+        np.asarray(out)
+        n += chunk
         dt = time.perf_counter() - t0
         if dt >= min_seconds or n >= max_iters:
             return n, dt
