@@ -70,10 +70,10 @@ def main():
     rng = np.random.default_rng(0)
     # ~7 s utterances (CHiME-4-era utterance scale): 58 tokens * 120 ms
     scfg = SyntheticConfig(vocab_size=vocab, min_tokens=48, max_tokens=58)
-    # B=64 measured near the throughput knee (349 utt/s @16, 497 @64,
-    # 589 @128); the sequential LSTM chains are latency-bound so batch
-    # amortizes them until compute saturates.
-    B = 64
+    # Batch amortizes the latency-bound sequential LSTM chains; with the
+    # tunnel RTT also amortized (chunked sync below), B=128 measured best:
+    # 815 utt/s @B=64 vs 898 @B=128 (bf16).
+    B = 128
     batch = make_batch(B, scfg, rng, ignore_id=-1)
     wav = jnp.asarray(batch["noisy_wav"])
     lens = jnp.asarray(batch["wav_lengths"])
