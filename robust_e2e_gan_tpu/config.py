@@ -190,10 +190,7 @@ class TrainConfig:
     length_buckets: Tuple[int, ...] = (256, 512, 1024, 1600)
     max_label_len: int = 128
     checkpoint_dir: str = "checkpoints/default"
-    keep_best_metric: str = "dev_acc"
     log_every: int = 10
-    mesh_shape: Tuple[int, ...] = (1,)
-    mesh_axes: Tuple[str, ...] = ("data",)
 
 
 def to_dict(cfg: Any) -> Dict[str, Any]:

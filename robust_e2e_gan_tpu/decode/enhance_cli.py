@@ -30,7 +30,9 @@ from robust_e2e_gan_tpu.pipeline import RobustE2E
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--manifest", required=True)
+    p.add_argument("--manifest", help="jsonl manifest")
+    p.add_argument("--noisy-scp", help="Kaldi scp of waveforms (with --text)")
+    p.add_argument("--text", help="Kaldi text file (with --noisy-scp)")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--which", choices=("best", "latest"), default="best")
     p.add_argument("--out", required=True, help="output prefix (.ark/.scp)")
@@ -62,7 +64,13 @@ def main(argv: Optional[list] = None) -> None:
             out = enhanced
         return out, fmask
 
-    ds = AudioTextDataset.from_jsonl(args.manifest, tokenizer=tok)
+    if args.manifest:
+        ds = AudioTextDataset.from_jsonl(args.manifest, tokenizer=tok)
+    elif args.noisy_scp and args.text:
+        ds = AudioTextDataset.from_kaldi(args.noisy_scp, args.text,
+                                         tokenizer=tok)
+    else:
+        raise SystemExit("need --manifest or --noisy-scp/--text")
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
     batcher = BucketBatcher(ds, args.batch_size, buckets)
 
