@@ -6,8 +6,10 @@ baselines") reproduced end-to-end through the public API on real hardware:
 
   1. clean-ASR pretrain (train script a) -> near-0 WER on clean audio,
      degraded WER on noisy audio decoded WITHOUT enhancement;
-  2. joint adversarial fine-tune (train script c) warm-started from (1)
-     -> noisy WER recovered through the learned enhancer.
+  2. CASCADE baseline: enhancement-GAN pretrained separately (train script
+     b, ASR untouched), then the clean ASR decodes its output;
+  3. joint adversarial fine-tune (train script c) -> noisy WER recovered
+     through the jointly-learned enhancer (paper: beats both baselines).
 
 Writes a JSON summary. Usage:
   PYTHONPATH=/root/repo python scripts/adversarial_benefit.py [steps_a] [steps_c]
@@ -103,7 +105,19 @@ def main(steps_a=400, steps_c=400):
     print(f"noisy WER, no enhancement (baseline): {wer_noisy_raw:.3f}",
           flush=True)
 
-    # ---- stage (c): joint adversarial fine-tune from (a)
+    # ---- stage (b): GAN-only pretrain -> cascade baseline
+    # (with_asr=False: the G objective has no ASR term, so ASR grads are
+    # exactly zero and the recognizer stays the clean-trained one)
+    step_b = make_joint_train_step(model, disc, JCFG, opt_g, opt_d,
+                                   with_asr=False)
+    for i, b in enumerate(batches(rng, steps_c)):
+        state, m = step_b(state, b)
+    wer_cascade = decode_wer(model, state.params_g, eval_b,
+                             use_enhancer=True)
+    print(f"noisy WER, cascade (separate enhancer + clean ASR): "
+          f"{wer_cascade:.3f}", flush=True)
+
+    # ---- stage (c): joint adversarial fine-tune from (a)+(b)
     step_c = make_joint_train_step(model, disc, JCFG, opt_g, opt_d,
                                    with_asr=True)
     for i, b in enumerate(batches(rng, steps_c)):
@@ -117,6 +131,7 @@ def main(steps_a=400, steps_c=400):
 
     summary = {
         "noisy_wer_no_enhancement": round(wer_noisy_raw, 4),
+        "noisy_wer_cascade_enhancement": round(wer_cascade, 4),
         "noisy_wer_joint_adversarial": round(wer_joint, 4),
         "relative_improvement": round(
             1.0 - wer_joint / max(wer_noisy_raw, 1e-9), 4
