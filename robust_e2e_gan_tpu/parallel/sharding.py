@@ -117,7 +117,7 @@ def shard_params(tree: Any, mesh: Mesh, min_shard_dim: int = 512) -> Any:
 
     def put(x):
         x = jnp.asarray(x)
-        spec = partition_rule(x.shape, n_model)
+        spec = partition_rule(x.shape, n_model, min_shard_dim)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)

@@ -29,6 +29,18 @@ _build_failed = False
 
 
 _SOURCES = ("editdistance.cpp", "dataloader.cpp")
+_STAMP_PATH = _SO_PATH + ".srchash"
+
+
+def _source_hash(srcs: Sequence[str]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in sorted(srcs):
+        h.update(os.path.basename(s).encode())
+        with open(s, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _build() -> Optional[str]:
@@ -36,10 +48,17 @@ def _build() -> Optional[str]:
     srcs = [s for s in srcs if os.path.exists(s)]
     if not srcs:
         return None
-    if os.path.exists(_SO_PATH) and all(
-        os.path.getmtime(_SO_PATH) >= os.path.getmtime(s) for s in srcs
-    ):
-        return _SO_PATH
+    # The cached .so is trusted only if its sidecar records the hash of the
+    # exact sources it was built from — a stale or foreign binary (e.g. one
+    # that slipped into a checkout) is rebuilt, never loaded.
+    want = _source_hash(srcs)
+    if os.path.exists(_SO_PATH) and os.path.exists(_STAMP_PATH):
+        try:
+            with open(_STAMP_PATH) as f:
+                if f.read().strip() == want:
+                    return _SO_PATH
+        except OSError:
+            pass
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         *srcs, "-o", _SO_PATH,
@@ -48,6 +67,8 @@ def _build() -> Optional[str]:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
         return None
+    with open(_STAMP_PATH, "w") as f:
+        f.write(want)
     return _SO_PATH
 
 

@@ -100,6 +100,15 @@ def test_dp_tp_mesh_runs():
     batch, state, step = _setup(batch_size=4)
     mesh = make_mesh(4, 2)
     state = shard_train_state(state, mesh, min_shard_dim=32)
+    # min_shard_dim must actually reach partition_rule: at least one weight
+    # matrix of this tiny model (dims >= 32) must be model-axis sharded.
+    model_sharded = [
+        x for x in jax.tree_util.tree_leaves(state)
+        if hasattr(x, "sharding")
+        and isinstance(x.sharding, jax.sharding.NamedSharding)
+        and any(e == "model" for e in x.sharding.spec)
+    ]
+    assert model_sharded, "no leaf was tensor-sharded on the model axis"
     sharded = shard_batch(batch, mesh)
     s2, m2 = step(state, sharded)
     jax.block_until_ready(m2)
