@@ -173,22 +173,25 @@ def _corpus_factories(args):
     tok = train_ds.tokenizer
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
 
+    # one batcher shared across epochs: its rng advances every .epoch()
+    # call, so batch order reshuffles per epoch like the reference loop
+    train_batcher = BucketBatcher(
+        train_ds, args.batch_size, buckets, args.max_label_len,
+        seed=args.seed,
+    )
+
     def train_batches():
-        b = BucketBatcher(
-            train_ds, args.batch_size, buckets, args.max_label_len,
-            seed=args.seed,
-        )
-        return b.epoch(shuffle=True)
+        return train_batcher.epoch(shuffle=True)
 
     dev_batches = None
     if args.dev_manifest:
         dev_ds = AudioTextDataset.from_jsonl(args.dev_manifest, tokenizer=tok)
+        dev_batcher = BucketBatcher(
+            dev_ds, args.batch_size, buckets, args.max_label_len,
+        )
 
         def dev_batches():
-            b = BucketBatcher(
-                dev_ds, args.batch_size, buckets, args.max_label_len,
-            )
-            return b.epoch(shuffle=False)
+            return dev_batcher.epoch(shuffle=False)
 
     return train_batches, dev_batches, tok.vocab_size, tok
 

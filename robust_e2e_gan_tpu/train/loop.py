@@ -83,15 +83,24 @@ def train(
     )
 
     start_epoch = 0
+    best_acc = -float("inf")
     if init_from and ckpt_lib.has_checkpoint(init_from, "best"):
         warm, _ = ckpt_lib.restore_checkpoint(init_from, state, "best")
         state = state.replace(params_g=warm.params_g, params_d=warm.params_d)
     if resume and ckpt_lib.has_checkpoint(tcfg.checkpoint_dir):
         state, step0 = ckpt_lib.restore_checkpoint(tcfg.checkpoint_dir, state)
-        steps_per_epoch = max(
-            sum(1 for _ in train_batches()), 1
-        )
-        start_epoch = step0 // steps_per_epoch
+        extra = ckpt_lib.read_extra(tcfg.checkpoint_dir)
+        if "epoch" in extra:
+            # schedule state travels in the checkpoint sidecar: no corpus
+            # re-scan to count steps, and the eps-decay plateau comparison
+            # (best_acc) survives preemption.
+            start_epoch = int(extra["epoch"]) + int(
+                bool(extra.get("epoch_complete", True))
+            )
+            best_acc = float(extra.get("best_acc", best_acc))
+        else:  # legacy checkpoint without sidecar extra: count one epoch
+            steps_per_epoch = max(sum(1 for _ in train_batches()), 1)
+            start_epoch = step0 // steps_per_epoch
 
     if mesh is not None:
         from robust_e2e_gan_tpu.parallel import shard_train_state
@@ -110,7 +119,6 @@ def train(
 
     logger = MetricLogger(log_dir, name=mode)
     timer = StepTimer()
-    best_acc = -float("inf")
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = Prefetcher(train_batches(), depth=prefetch_depth)
@@ -125,6 +133,8 @@ def train(
                 # preemption safety net between the per-epoch checkpoints
                 ckpt_lib.save_checkpoint(
                     tcfg.checkpoint_dir, state, step, metric=None, keep=3,
+                    extra={"epoch": epoch, "epoch_complete": False,
+                           "best_acc": best_acc},
                 )
             timer.toc()
 
@@ -162,6 +172,8 @@ def train(
         ckpt_lib.save_checkpoint(
             tcfg.checkpoint_dir, state, int(state.step),
             metric=dev_acc, keep=3,
+            extra={"epoch": epoch, "epoch_complete": True,
+                   "best_acc": best_acc},
         )
 
     logger.close()

@@ -37,11 +37,15 @@ def save_checkpoint(
     metric: Optional[float] = None,
     keep: int = 3,
     best_mode: str = "max",
+    extra: Optional[Dict] = None,
 ) -> str:
     """Write ckpt_dir/ckpt_<step>.msgpack atomically; update latest/best.
 
     Returns the checkpoint path. ``metric`` (e.g. dev accuracy) drives the
     'best' symlink; ``keep`` bounds non-best retained checkpoints.
+    ``extra`` is a small JSON-able dict stored in the sidecar alongside the
+    'latest' entry (epoch counter, plateau best_acc, steps_per_epoch) so the
+    train loop can resume its schedule without re-scanning the corpus.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     data = serialization.to_bytes(_to_host(state))
@@ -57,6 +61,8 @@ def save_checkpoint(
 
     meta = _read_meta(ckpt_dir)
     meta["latest"] = {"step": step, "path": os.path.basename(path)}
+    if extra is not None:
+        meta["latest"]["extra"] = extra
     if metric is not None:
         best = meta.get("best")
         better = (
@@ -91,6 +97,12 @@ def restore_checkpoint(
     with open(path, "rb") as f:
         state = serialization.from_bytes(state_template, f.read())
     return state, int(entry["step"])
+
+
+def read_extra(ckpt_dir: str, which: str = "latest") -> Dict:
+    """Sidecar ``extra`` dict saved with the checkpoint ({} if absent)."""
+    entry = _read_meta(ckpt_dir).get(which) or {}
+    return dict(entry.get("extra") or {})
 
 
 def has_checkpoint(ckpt_dir: str, which: str = "latest") -> bool:

@@ -51,12 +51,24 @@ class MetricLogger:
         if self._csv:
             self._csv.close()
         self._fields = fields
-        exists = os.path.exists(self._csv_path)
+        # a header is (re)written whenever the file's most recent header
+        # does not match; a mid-run key-set change thus never produces rows
+        # misaligned with a stale header
+        on_disk = None
+        if os.path.exists(self._csv_path):
+            with open(self._csv_path, newline="") as f:
+                for row in csv.reader(f):
+                    if not row:
+                        continue
+                    try:  # data rows hold numbers; header cells don't parse
+                        float(row[0])
+                    except ValueError:
+                        on_disk = row
         self._csv = open(self._csv_path, "a", newline="")
         self._writer = csv.DictWriter(
             self._csv, fieldnames=fields, extrasaction="ignore"
         )
-        if not exists:
+        if on_disk != list(fields):
             self._writer.writeheader()
 
     def close(self):
