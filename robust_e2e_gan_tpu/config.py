@@ -41,6 +41,11 @@ class FrontendConfig:
     # feature normalization: per-utterance (ESPnet-style), global stats
     # (Kaldi apply-cmvn with precomputed stats; see data/cmvn.py), or none.
     cmvn: str = "utterance"  # utterance | global | none
+    # Use the fused Pallas frontend kernel (ops/fbank_pallas.py) on paths
+    # without the enhancer (clean-ASR pretrain, no-enhancer decode); the
+    # joint objective splits the chain at the enhancer so it keeps the
+    # pure-JAX frontend. Requires cmvn="utterance".
+    fused: bool = False
 
     @property
     def n_freqs(self) -> int:
@@ -170,6 +175,21 @@ class BeamSearchConfig:
     # v5e benchmark decode — XLA:TPU lowers cumlogsumexp poorly — so scan is
     # the default; "parallel" is kept as an equivalence-tested alternative.
     prefix_impl: str = "scan"
+    # Early exit: run the decode loop as a lax.while_loop that stops once
+    # every hypothesis in the batch has emitted eos (or end-detect fires),
+    # instead of always scanning max_steps. Token-exact with the scan path
+    # (frozen eos self-loops make post-finish steps no-ops); cuts latency on
+    # short utterances.
+    early_exit: bool = True
+    # ESPnet-style end detection (reference call stack 3.2 "end-detect
+    # pruning"), streaming form: an utterance stops once end_detect_window
+    # consecutive steps each end hypotheses scoring more than
+    # end_detect_margin below its best ended score.
+    end_detect: bool = False
+    end_detect_window: int = 3
+    end_detect_margin: float = 10.0
+    # RNNLM shallow fusion: score += lm_weight * log p_LM(token). 0 = off.
+    lm_weight: float = 0.0
 
 
 @dataclass(frozen=True)

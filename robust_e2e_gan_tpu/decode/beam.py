@@ -120,6 +120,108 @@ def batched_prefix_scores(
     return psi, rn_all, rb_all
 
 
+def batched_prefix_psi(
+    lpz: jnp.ndarray,
+    last_tok: jnp.ndarray,
+    lengths: jnp.ndarray,
+    r_n: jnp.ndarray,
+    r_b: jnp.ndarray,
+    blank: int,
+    eos: int,
+) -> jnp.ndarray:
+    """psi only — the (B, K, V) prefix scores, no (T, B, K, V) outputs.
+
+    Same recursion as ``batched_prefix_scores`` but the forward variables of
+    the V candidate extensions stay in the scan carry and are discarded: the
+    pruning step only consumes psi, and the selected extension's state is
+    recomputed V x cheaper by ``prefix_state_for_token``. This removes the
+    two (T, B, K, V) stacked outputs (the dominant HBM traffic of the
+    round-1 decode step; PARITY.md "CTC prefix recursion").
+    """
+    b, t, v = lpz.shape
+    k = last_tok.shape[1]
+    vocab_ids = jnp.arange(v, dtype=jnp.int32)
+
+    r_sum = jnp.logaddexp(r_n, r_b)  # (B, K, T)
+    is_last = (
+        vocab_ids[None, None, None, :] == last_tok[:, :, None, None]
+    ) & (lengths[:, :, None, None] > 0)
+    log_phi = jnp.where(is_last, r_b[..., None], r_sum[..., None])
+    phi0 = jnp.where(lengths[:, :, None] == 0, 0.0, LOG_ZERO).astype(
+        jnp.float32
+    )
+    phi_prev = jnp.concatenate(
+        [jnp.broadcast_to(phi0[..., None], (b, k, 1, v)),
+         log_phi[:, :, :-1, :]],
+        axis=2,
+    )
+
+    def ctc_step(c, inp):
+        rn_p, rb_p, psi = c
+        x_t, phi_t = inp
+        xl = x_t[:, None, :]
+        rn = xl + jnp.logaddexp(rn_p, phi_t)
+        rb = x_t[:, None, blank, None] + jnp.logaddexp(rn_p, rb_p)
+        psi = jnp.logaddexp(psi, phi_t + xl)
+        return (rn, rb, psi), None
+
+    z = jnp.full((b, k, v), LOG_ZERO, jnp.float32)
+    (_, _, psi), _ = jax.lax.scan(
+        ctc_step,
+        (z, z, z),
+        (jnp.moveaxis(lpz, 1, 0), jnp.moveaxis(phi_prev, 2, 0)),
+    )
+    psi = psi.at[..., eos].set(r_sum[:, :, -1])
+    psi = psi.at[..., blank].set(LOG_ZERO)
+    return psi
+
+
+def prefix_state_for_token(
+    lpz: jnp.ndarray,
+    tok: jnp.ndarray,
+    last_tok: jnp.ndarray,
+    lengths: jnp.ndarray,
+    r_n: jnp.ndarray,
+    r_b: jnp.ndarray,
+    blank: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward variables (B, K, T) of the parent prefixes extended by tok.
+
+    Runs the same 2-state recursion as ``batched_prefix_scores`` but only
+    along the single chosen token lane per hypothesis — the cheap second
+    pass of the psi-only formulation. ``last_tok``/``lengths``/``r_n``/
+    ``r_b`` describe the PARENT prefixes (already gathered by beam index).
+    """
+    r_sum = jnp.logaddexp(r_n, r_b)  # (B, K, T)
+    is_last = (tok == last_tok) & (lengths > 0)  # (B, K)
+    log_phi = jnp.where(is_last[..., None], r_b, r_sum)  # (B, K, T)
+    phi0 = jnp.where(lengths == 0, 0.0, LOG_ZERO).astype(jnp.float32)
+    phi_prev = jnp.concatenate(
+        [phi0[..., None], log_phi[..., :-1]], axis=-1
+    )  # (B, K, T)
+    # lpz gathered at the chosen token: (B, K, T)
+    x_tok = jnp.moveaxis(
+        jnp.take_along_axis(lpz, tok[:, None, :], axis=2), 1, 2
+    )
+    x_blank = lpz[:, :, blank]  # (B, T)
+
+    def step(c, inp):
+        rn_p, rb_p = c  # (B, K)
+        x_t, xb_t, phi_t = inp  # (B, K), (B,), (B, K)
+        rn = x_t + jnp.logaddexp(rn_p, phi_t)
+        rb = xb_t[:, None] + jnp.logaddexp(rn_p, rb_p)
+        return (rn, rb), (rn, rb)
+
+    z = jnp.full(tok.shape, LOG_ZERO, jnp.float32)
+    _, (rn_all, rb_all) = jax.lax.scan(
+        step,
+        (z, z),
+        (jnp.moveaxis(x_tok, 2, 0), jnp.moveaxis(x_blank, 1, 0),
+         jnp.moveaxis(phi_prev, 2, 0)),
+    )
+    return jnp.moveaxis(rn_all, 0, 2), jnp.moveaxis(rb_all, 0, 2)
+
+
 def batched_prefix_scores_parallel(
     lpz: jnp.ndarray,
     last_tok: jnp.ndarray,
@@ -207,6 +309,8 @@ def beam_search_from_encoder(
     ctc_logits: jnp.ndarray,
     ecfg: E2EConfig,
     bcfg: BeamSearchConfig,
+    lm_step_fn: Callable = None,
+    lm_init_fn: Callable = None,
 ) -> BeamResult:
     """Core search given encoder outputs.
 
@@ -216,6 +320,9 @@ def beam_search_from_encoder(
         the bound decoder step (training parameters).
       init_carry_fn: (n: int, enc_mask (N,T)) -> initial decoder carry.
       enc/enc_mask/hlens/enc_proj/ctc_logits: encoder-side tensors.
+      lm_step_fn/lm_init_fn: optional bound RNNLM step for shallow fusion
+        (score += bcfg.lm_weight * log p_LM); same carry discipline as the
+        decoder step.
     """
     b, t, _ = enc.shape
     v = ctc_logits.shape[-1]
@@ -238,6 +345,8 @@ def beam_search_from_encoder(
     emask_k = jnp.repeat(enc_mask, k, axis=0)
 
     dec_carry = init_carry_fn(b * k, emask_k)
+    use_lm = lm_step_fn is not None and bcfg.lm_weight != 0.0
+    lm_carry = lm_init_fn(b * k) if use_lm else None
 
     # --- CTC prefix state of the empty prefix: all-blank paths.
     rb0 = jnp.cumsum(lpz[:, :, blank], axis=1)  # (B, T)
@@ -271,10 +380,14 @@ def beam_search_from_encoder(
         max_len_b = jnp.full((b, 1), l - 1, jnp.int32)
 
     vocab_ids = jnp.arange(v, dtype=jnp.int32)
+    # streaming end-detect state: best ended score so far + consecutive
+    # non-improving-step counter, per utterance
+    ended_best = jnp.full((b,), LOG_ZERO, jnp.float32)
+    stall = jnp.zeros((b,), jnp.int32)
 
     def decode_step(carry, i):
         (scores, tokens, lengths, finished, last_tok, psi_g, r_n, r_b,
-         dec_carry) = carry
+         ended_best, stall, dec_carry, lm_carry) = carry
 
         # --- attention decoder step on all B*K hypotheses at once.
         new_dec_carry, (logits, _) = step_fn(
@@ -283,15 +396,41 @@ def beam_search_from_encoder(
         att_lp = jax.nn.log_softmax(
             logits.astype(jnp.float32), axis=-1
         ).reshape(b, k, v)
+        if use_lm:  # RNNLM shallow fusion on the same B*K lanes
+            new_lm_carry, lm_logits = lm_step_fn(
+                lm_carry, last_tok.reshape(b * k)
+            )
+            lm_lp = jax.nn.log_softmax(
+                lm_logits.astype(jnp.float32), axis=-1
+            ).reshape(b, k, v)
+        else:
+            new_lm_carry = lm_carry
 
         # --- batched CTC prefix recursion over frames.
-        prefix_fn = (
-            batched_prefix_scores_parallel
-            if bcfg.prefix_impl == "parallel" else batched_prefix_scores
-        )
-        psi, rn_all, rb_all = prefix_fn(
-            lpz, last_tok, lengths, r_n, r_b, blank, eos
-        )
+        if bcfg.prefix_impl in ("twopass", "pallas"):
+            # psi-only pass; the chosen extension's forward state is
+            # recomputed after pruning (V x less memory traffic)
+            if bcfg.prefix_impl == "pallas":
+                from robust_e2e_gan_tpu.ops.ctc_prefix_pallas import (
+                    prefix_scores_psi_pallas,
+                )
+
+                psi = prefix_scores_psi_pallas(
+                    lpz, last_tok, lengths, r_n, r_b, blank, eos
+                )
+            else:
+                psi = batched_prefix_psi(
+                    lpz, last_tok, lengths, r_n, r_b, blank, eos
+                )
+            rn_all = rb_all = None
+        else:
+            prefix_fn = (
+                batched_prefix_scores_parallel
+                if bcfg.prefix_impl == "parallel" else batched_prefix_scores
+            )
+            psi, rn_all, rb_all = prefix_fn(
+                lpz, last_tok, lengths, r_n, r_b, blank, eos
+            )
 
         # --- joint candidate scores.
         cand = (
@@ -300,6 +439,8 @@ def beam_search_from_encoder(
             + cw * (psi - psi_g[..., None])
             + bcfg.penalty
         )
+        if use_lm:
+            cand = cand + bcfg.lm_weight * lm_lp
         # blank is never a label candidate; eos masked below min length.
         cand = cand.at[..., blank].set(2.0 * LOG_ZERO)
         cand = cand.at[..., eos].set(
@@ -311,6 +452,9 @@ def beam_search_from_encoder(
         # force eos at each utterance's max length (and at the last step)
         # so every hypothesis is fully scored.
         at_limit = (i == l - 1) | (lengths >= max_len_b)  # (B, K)
+        if bcfg.end_detect:
+            # end-detect fired -> wind the whole utterance down via eos
+            at_limit = at_limit | (stall >= bcfg.end_detect_window)[:, None]
         force_eos = at_limit[..., None] & (vocab_ids[None, None, :] != eos)
         cand = jnp.where(force_eos & ~finished[..., None], 2.0 * LOG_ZERO, cand)
 
@@ -333,17 +477,47 @@ def beam_search_from_encoder(
         finished = fin_old | (tok == eos)
         psi_g = jnp.where(append, psi_sel, psi_old)
 
+        if bcfg.end_detect:
+            # Streaming ESPnet end_detect (reference call stack 3.2): a step
+            # whose newly-ended hypotheses all score > margin below the best
+            # ended score is "non-improving"; end_detect_window consecutive
+            # such steps end the utterance. Steps ending nothing reset the
+            # counter (a length with no ended hyps never counts in ESPnet).
+            just_ended = finished & ~fin_old
+            ended_now = jnp.max(
+                jnp.where(just_ended, top_scores, 2.0 * LOG_ZERO), axis=1
+            )  # (B,)
+            any_ended = jnp.any(just_ended, axis=1)
+            below = ended_now < ended_best - bcfg.end_detect_margin
+            stall = jnp.where(any_ended & below, stall + 1, 0)
+            ended_best = jnp.maximum(ended_best, ended_now)
+
         # CTC forward state of the selected extensions.
-        rn_bk = jnp.moveaxis(rn_all, 0, 2)  # (B, K, T, V)
-        rb_bk = jnp.moveaxis(rb_all, 0, 2)
-        rn_sel = jnp.take_along_axis(
-            _gather_beam(rn_bk, k_idx), tok[:, :, None, None], axis=-1
-        )[..., 0]
-        rb_sel = jnp.take_along_axis(
-            _gather_beam(rb_bk, k_idx), tok[:, :, None, None], axis=-1
-        )[..., 0]
-        r_n = jnp.where(append[..., None], rn_sel, _gather_beam(r_n, k_idx))
-        r_b = jnp.where(append[..., None], rb_sel, _gather_beam(r_b, k_idx))
+        if bcfg.prefix_impl in ("twopass", "pallas"):
+            last_par = _gather_beam(last_tok, k_idx)
+            len_par = lengths - append.astype(jnp.int32)
+            rn_par = _gather_beam(r_n, k_idx)
+            rb_par = _gather_beam(r_b, k_idx)
+            rn_sel, rb_sel = prefix_state_for_token(
+                lpz, tok, last_par, len_par, rn_par, rb_par, blank
+            )
+            r_n = jnp.where(append[..., None], rn_sel, rn_par)
+            r_b = jnp.where(append[..., None], rb_sel, rb_par)
+        else:
+            rn_bk = jnp.moveaxis(rn_all, 0, 2)  # (B, K, T, V)
+            rb_bk = jnp.moveaxis(rb_all, 0, 2)
+            rn_sel = jnp.take_along_axis(
+                _gather_beam(rn_bk, k_idx), tok[:, :, None, None], axis=-1
+            )[..., 0]
+            rb_sel = jnp.take_along_axis(
+                _gather_beam(rb_bk, k_idx), tok[:, :, None, None], axis=-1
+            )[..., 0]
+            r_n = jnp.where(
+                append[..., None], rn_sel, _gather_beam(r_n, k_idx)
+            )
+            r_b = jnp.where(
+                append[..., None], rb_sel, _gather_beam(r_b, k_idx)
+            )
 
         # Decoder carry: permute the (B*K)-flattened hidden state by k_idx.
         def permute(x):
@@ -359,17 +533,36 @@ def beam_search_from_encoder(
             return xs.reshape(x.shape)
 
         dec_carry = jax.tree_util.tree_map(permute, new_dec_carry)
+        lm_carry = jax.tree_util.tree_map(permute, new_lm_carry)
         last_tok = tok
 
         new_carry = (top_scores, tokens, lengths, finished, last_tok, psi_g,
-                     r_n, r_b, dec_carry)
+                     r_n, r_b, ended_best, stall, dec_carry, lm_carry)
         return new_carry, None
 
     carry0 = (scores, tokens, lengths, finished, last_tok, psi_g, r_n, r_b,
-              dec_carry)
-    carry, _ = jax.lax.scan(
-        decode_step, carry0, jnp.arange(l, dtype=jnp.int32)
-    )
+              ended_best, stall, dec_carry, lm_carry)
+    if bcfg.early_exit:
+        # while_loop with an all-finished predicate: post-finish scan steps
+        # are provably no-ops (frozen eos self-loops re-select the same
+        # descending-sorted beams), so stopping early is token-exact while
+        # cutting latency on short utterances (round-1 VERDICT weak #4).
+        def loop_cond(state):
+            i, c = state
+            return (i < l) & ~jnp.all(c[3])
+
+        def loop_body(state):
+            i, c = state
+            c, _ = decode_step(c, i)
+            return i + 1, c
+
+        _, carry = jax.lax.while_loop(
+            loop_cond, loop_body, (jnp.int32(0), carry0)
+        )
+    else:
+        carry, _ = jax.lax.scan(
+            decode_step, carry0, jnp.arange(l, dtype=jnp.int32)
+        )
     scores, tokens, lengths = carry[0], carry[1], carry[2]
 
     rank = scores
@@ -391,14 +584,28 @@ def make_beam_searcher(
     ecfg: E2EConfig,
     bcfg: BeamSearchConfig,
     use_enhancer: bool = True,
+    lm=None,
+    lm_params=None,
 ) -> Callable:
     """Bind a RobustE2E model into a jitted wav -> BeamResult function.
 
     Replaces the reference's recognize() entry point (SURVEY.md L3): one
     compiled program runs enhancer -> fbank -> encoder -> batched joint
-    CTC/attention beam search for a whole batch of utterances.
+    CTC/attention beam search for a whole batch of utterances. Pass an
+    ``RNNLM`` module + params (models/lm.py) with ``bcfg.lm_weight > 0`` for
+    shallow fusion.
     """
     from robust_e2e_gan_tpu.pipeline import RobustE2E
+
+    lm_step_fn = lm_init_fn = None
+    if lm is not None and bcfg.lm_weight != 0.0:
+        lm_vars = {"params": lm_params}
+
+        def lm_step_fn(carry, toks):
+            return lm.apply(lm_vars, carry, toks, method=lm.step)
+
+        def lm_init_fn(n):
+            return lm.apply(lm_vars, n, method=lm.initial_carry)
 
     def search(params, wav, wav_lengths):
         variables = {"params": params}
@@ -421,7 +628,7 @@ def make_beam_searcher(
 
         return beam_search_from_encoder(
             step_fn, init_fn, hs, hmask, hlens, enc_proj, ctc_logits,
-            ecfg, bcfg,
+            ecfg, bcfg, lm_step_fn=lm_step_fn, lm_init_fn=lm_init_fn,
         )
 
     return jax.jit(search)

@@ -34,7 +34,7 @@ from robust_e2e_gan_tpu.data.dataset import (
 from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
 from robust_e2e_gan_tpu.ops.ctc import ctc_greedy_decode
-from robust_e2e_gan_tpu.ops.editdistance import wer_details
+from robust_e2e_gan_tpu.ops.editdistance import score_texts, wer_details
 from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
 from robust_e2e_gan_tpu.train.steps import init_train_state
 from robust_e2e_gan_tpu.utils import checkpoint as ckpt_lib
@@ -58,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minlen-ratio", type=float, default=0.0)
     p.add_argument("--greedy", action="store_true",
                    help="greedy CTC decode instead of beam search")
+    p.add_argument("--lm-dir",
+                   help="RNNLM experiment dir (train --mode lm) for shallow "
+                        "fusion")
+    p.add_argument("--lm-weight", type=float, default=0.0)
+    p.add_argument("--end-detect", action="store_true",
+                   help="ESPnet-style end detection (stops utterances whose "
+                        "recent ended hypotheses stopped improving)")
+    p.add_argument("--no-early-exit", action="store_true",
+                   help="always scan max_steps instead of exiting when all "
+                        "hypotheses finish")
     p.add_argument("--no-enhancer", action="store_true",
                    help="decode raw noisy features (cascade-off baseline)")
     p.add_argument("--length-buckets", default="32000,64000,112000,160000")
@@ -132,9 +142,19 @@ def main(argv: Optional[list] = None) -> None:
         beam_size=args.beam_size, ctc_weight=args.ctc_weight,
         penalty=args.penalty, max_steps=args.max_steps,
         maxlen_ratio=args.maxlen_ratio, minlen_ratio=args.minlen_ratio,
+        lm_weight=args.lm_weight, end_detect=args.end_detect,
+        early_exit=not args.no_early_exit,
     )
+    lm = lm_params = None
+    if args.lm_dir and args.lm_weight != 0.0:
+        from robust_e2e_gan_tpu.train.lm import load_lm
+
+        lm, lm_params = load_lm(args.lm_dir)
+        print(f"RNNLM shallow fusion from {args.lm_dir} "
+              f"(weight {args.lm_weight})")
     use_enh = not args.no_enhancer
-    searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=use_enh)
+    searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=use_enh,
+                                  lm=lm, lm_params=lm_params)
 
     @jax.jit
     def greedy_fn(params, wav, lens):
@@ -168,6 +188,7 @@ def main(argv: Optional[list] = None) -> None:
     out_dir = args.out or os.path.join(args.ckpt_dir, "decode")
     os.makedirs(out_dir, exist_ok=True)
     refs, hyps, lines, nbest_rows = [], [], [], []
+    ref_texts, hyp_texts = [], []
     for batch in batcher.epoch(shuffle=False):
         wav = jnp.asarray(batch["noisy_wav"])
         lens = jnp.asarray(batch["wav_lengths"])
@@ -214,6 +235,8 @@ def main(argv: Optional[list] = None) -> None:
             refs.append(ref)
             hyps.append(hyp)
             text = tok.decode(hyp) if tok else " ".join(map(str, hyp))
+            ref_texts.append(tok.decode(ref) if tok else "")
+            hyp_texts.append(text)
             lines.append(f"{uid} {text}")
 
     if nbest_rows:
@@ -222,7 +245,12 @@ def main(argv: Optional[list] = None) -> None:
 
     with open(os.path.join(out_dir, "hyp.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    report = wer_details(refs, hyps)
+    # token-level rate (round-1 behavior) + word-level WER and char-level
+    # CER from the decoded text — the reference's end metric is word WER
+    # (SURVEY.md L5/section 6)
+    report = {"token": wer_details(refs, hyps)}
+    if tok is not None:
+        report.update(score_texts(ref_texts, hyp_texts))
     report["n_utts"] = len(refs)
     report["decoder"] = "greedy" if args.greedy else f"beam{args.beam_size}"
     with open(os.path.join(out_dir, "wer.json"), "w") as f:

@@ -36,6 +36,8 @@ class Hypothesis:
     r: np.ndarray  # (T, 2) CTC forward state
     carry: object  # decoder carry to feed the NEXT step
     ended: bool = False
+    ended_at: int = -1  # step index at which eos was taken
+    lm_carry: object = None  # RNNLM state for shallow fusion
 
 
 def recognize_beam_host(
@@ -48,6 +50,8 @@ def recognize_beam_host(
     log_probs_ctc: np.ndarray,
     ecfg: E2EConfig,
     bcfg: BeamSearchConfig,
+    lm_step_fn: Callable = None,
+    lm_init_fn: Callable = None,
 ):
     """Decode ONE utterance; returns (tokens, score) of the best hypothesis.
 
@@ -80,12 +84,16 @@ def recognize_beam_host(
     init = Hypothesis(
         tokens=[], last=sos, score=0.0, psi=0.0,
         r=scorer.initial_state(), carry=init_carry_fn(1, mask_b),
+        lm_carry=lm_init_fn(1) if lm_init_fn is not None else None,
     )
     # Device search starts with K identical beams, score -inf except beam 0;
     # one live hypothesis at step 0 is the equivalent host state.
     hyps = [init]
+    ended_best = LOG_ZERO  # streaming end-detect state (device-identical)
+    stall = 0
 
     for i in range(bcfg.max_steps):
+        end_trig = bcfg.end_detect and stall >= bcfg.end_detect_window
         # candidate = (score, tokens, last, psi, r, carry, ended)
         cands: List[Hypothesis] = []
         for hyp in hyps:
@@ -103,10 +111,20 @@ def recognize_beam_host(
 
             joint = hyp.score + (1.0 - cw) * att_lp \
                 + cw * (psi - hyp.psi) + bcfg.penalty
+            new_lm_carry = hyp.lm_carry
+            if lm_step_fn is not None and bcfg.lm_weight != 0.0:
+                new_lm_carry, lm_logits = lm_step_fn(
+                    hyp.lm_carry, jnp.asarray([hyp.last], dtype=jnp.int32)
+                )
+                lm_lp = np.asarray(
+                    jax.nn.log_softmax(lm_logits[0].astype(jnp.float32))
+                ).astype(np.float64)
+                joint = joint + bcfg.lm_weight * lm_lp
             joint[blank] = 2.0 * LOG_ZERO
             if len(hyp.tokens) < min_len:
                 joint[eos] = 2.0 * LOG_ZERO
-            at_limit = i == bcfg.max_steps - 1 or len(hyp.tokens) >= max_len
+            at_limit = (i == bcfg.max_steps - 1
+                        or len(hyp.tokens) >= max_len or end_trig)
             allowed = [eos] if at_limit else range(v)
             for c in allowed:
                 c = int(c)
@@ -118,9 +136,20 @@ def recognize_beam_host(
                     r=r[:, :, c].copy() if c != eos else hyp.r,
                     carry=new_carry,
                     ended=(c == eos),
+                    ended_at=i if c == eos else -1,
+                    lm_carry=new_lm_carry,
                 ))
         cands.sort(key=lambda h: h.score, reverse=True)
         hyps = cands[:k]
+        if bcfg.end_detect:
+            just = [h.score for h in hyps if h.ended_at == i]
+            if just:
+                now = max(just)
+                stall = (stall + 1
+                         if now < ended_best - bcfg.end_detect_margin else 0)
+                ended_best = max(ended_best, now)
+            else:
+                stall = 0
         if all(h.ended for h in hyps):
             break
 

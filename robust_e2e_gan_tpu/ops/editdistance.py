@@ -67,6 +67,26 @@ def wer_details(
     }
 
 
+def score_texts(
+    ref_texts: List[str], hyp_texts: List[str]
+) -> Dict[str, Dict[str, float]]:
+    """Word-level WER + char-level CER from plain-text refs/hyps.
+
+    The reference's end metric is word-level WER via Kaldi/sclite scoring
+    (SURVEY.md L5/section 6); round-1 scoring was char-token-level only
+    (effectively CER). WER splits on whitespace; CER scores the character
+    sequence with whitespace removed (Kaldi score_cer convention).
+    """
+    ref_words = [t.split() for t in ref_texts]
+    hyp_words = [t.split() for t in hyp_texts]
+    ref_chars = [list("".join(t.split())) for t in ref_texts]
+    hyp_chars = [list("".join(t.split())) for t in hyp_texts]
+    return {
+        "wer": wer_details(ref_words, hyp_words),
+        "cer": wer_details(ref_chars, hyp_chars),
+    }
+
+
 def align_stats(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
     """(substitutions, deletions, insertions) from a full DP backtrace."""
     n, m = len(ref), len(hyp)

@@ -117,6 +117,12 @@ class RobustE2E(nn.Module):
 
     # ---------- training forwards ----------
 
+    def _use_fused_frontend(self, use_enhancer: bool) -> bool:
+        """Fused Pallas frontend applies only when the chain is unsplit:
+        no enhancer between STFT and mel, utterance CMVN."""
+        fcfg = self.cfg.e2e.frontend
+        return fcfg.fused and not use_enhancer and fcfg.cmvn == "utterance"
+
     def asr_forward(
         self,
         wav: jnp.ndarray,
@@ -126,10 +132,19 @@ class RobustE2E(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Clean-ASR pretraining forward (SURVEY.md train script (a))."""
-        power, fmask = self.noisy_power(wav, wav_lengths)
-        if use_enhancer:
-            power, _ = self.enhancer(power, fmask)
-        feats = self.features_from_power(power, fmask)
+        if self._use_fused_frontend(use_enhancer):
+            from robust_e2e_gan_tpu.ops.fbank_pallas import (
+                fbank_fused_trainable,
+            )
+
+            feats, fmask = fbank_fused_trainable(
+                wav, self.cfg.e2e.frontend, wav_lengths=wav_lengths
+            )
+        else:
+            power, fmask = self.noisy_power(wav, wav_lengths)
+            if use_enhancer:
+                power, _ = self.enhancer(power, fmask)
+            feats = self.features_from_power(power, fmask)
         flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
         return self.asr(feats, flens, ys_pad, deterministic=deterministic)
 
@@ -173,10 +188,17 @@ class RobustE2E(nn.Module):
     ):
         """wav -> (enc_hs, enc_mask, hlens, ctc_logits, enc_proj): everything
         the batched beam search needs, in one jitted call."""
-        power, fmask = self.noisy_power(wav, wav_lengths)
-        if use_enhancer:
-            power, _ = self.enhancer(power, fmask)
-        feats = self.features_from_power(power, fmask)
+        if self._use_fused_frontend(use_enhancer):
+            from robust_e2e_gan_tpu.ops.fbank_pallas import fbank_fused
+
+            feats, fmask = fbank_fused(
+                wav, self.cfg.e2e.frontend, wav_lengths=wav_lengths
+            )
+        else:
+            power, fmask = self.noisy_power(wav, wav_lengths)
+            if use_enhancer:
+                power, _ = self.enhancer(power, fmask)
+            feats = self.features_from_power(power, fmask)
         flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
         hs, hmask, hlens = self.asr.encode(feats, flens)
         ctc_logits = self.asr.ctc_logits(hs)

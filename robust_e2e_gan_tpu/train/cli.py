@@ -44,7 +44,8 @@ from robust_e2e_gan_tpu.config import (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=("asr", "gan", "joint"), default="joint")
+    p.add_argument("--mode", choices=("asr", "gan", "joint", "lm"),
+                   default="joint")
     # data
     p.add_argument("--train-manifest", help="jsonl manifest (data/dataset.py)")
     p.add_argument("--dev-manifest")
@@ -74,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.checkpoint BLSTM layers (HBM vs recompute)")
     p.add_argument("--cmvn", choices=("utterance", "global", "none"),
                    default="utterance")
+    p.add_argument("--fused-frontend", action="store_true",
+                   help="fused Pallas fbank kernel on enhancer-free paths "
+                        "(clean-ASR pretrain fwd+bwd, no-enhancer decode)")
     p.add_argument("--cmvn-ark",
                    help="Kaldi CMVN stats ark for --cmvn global "
                         "(data/cmvn.py layout)")
@@ -101,7 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
 def configs_from_args(args, vocab_size: int):
     jcfg = JointConfig(
         e2e=E2EConfig(
-            frontend=FrontendConfig(n_mels=args.n_mels, cmvn=args.cmvn),
+            frontend=FrontendConfig(n_mels=args.n_mels, cmvn=args.cmvn,
+                                    fused=args.fused_frontend),
             encoder=EncoderConfig(
                 input_dim=args.n_mels, num_layers=args.enc_layers,
                 hidden_dim=args.enc_hidden, proj_dim=args.enc_proj,
@@ -196,11 +201,83 @@ def _corpus_factories(args):
     return train_batches, dev_batches, tok.vocab_size, tok
 
 
+def _lm_main(args) -> None:
+    """--mode lm: train the shallow-fusion RNNLM on transcripts only
+    (no audio I/O; the reference lineage's lm_train.py equivalent)."""
+    from robust_e2e_gan_tpu.models.lm import LMConfig
+    from robust_e2e_gan_tpu.train.lm import train_lm
+
+    rng = np.random.default_rng(args.seed)
+    if args.synthetic:
+        from robust_e2e_gan_tpu.data.synthetic import (
+            SyntheticConfig, sample_transcript,
+        )
+
+        scfg = SyntheticConfig(seed=args.seed)
+        vocab, tok = scfg.vocab_size, None
+        width = scfg.max_label_len
+        steps = max(args.synthetic_utts // args.batch_size, 1)
+
+        def label_batches():
+            for _ in range(steps):
+                ys = np.full((args.batch_size, width), -1, np.int32)
+                for i in range(args.batch_size):
+                    t = sample_transcript(scfg, rng)
+                    ys[i, : len(t)] = t
+                yield ys
+    else:
+        from robust_e2e_gan_tpu.data.dataset import AudioTextDataset
+
+        ds = AudioTextDataset.from_jsonl(args.train_manifest)
+        tok = ds.tokenizer
+        vocab = tok.vocab_size
+        encoded = [
+            np.asarray(tok.encode(u.text)[: args.max_label_len], np.int32)
+            for u in ds.utts
+        ]
+
+        def label_batches():
+            order = rng.permutation(len(encoded))
+            for s in range(0, len(order), args.batch_size):
+                idxs = order[s : s + args.batch_size]
+                ys = np.full(
+                    (len(idxs), args.max_label_len), -1, np.int32
+                )
+                for j, i in enumerate(idxs):
+                    ys[j, : len(encoded[i])] = encoded[i]
+                yield ys
+
+    lmcfg = LMConfig(
+        vocab_size=vocab, embed_dim=args.dec_embed,
+        hidden_dim=args.dec_hidden,
+    )
+    tcfg = TrainConfig(
+        optimizer=args.optimizer, learning_rate=args.lr,
+        grad_clip=args.grad_clip, batch_size=args.batch_size,
+        num_epochs=args.epochs, seed=args.seed,
+        max_label_len=args.max_label_len, checkpoint_dir=args.ckpt_dir,
+        log_every=args.log_every,
+    )
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    cfg_lib.save_config(
+        {"lm": cfg_lib.to_dict(lmcfg), "train": cfg_lib.to_dict(tcfg),
+         "mode": "lm"},
+        os.path.join(args.ckpt_dir, "config.json"),
+    )
+    if tok is not None:
+        tok.save(os.path.join(args.ckpt_dir, "tokenizer.json"))
+    train_lm(lmcfg, tcfg, label_batches, log_dir=args.ckpt_dir,
+             resume=not args.no_resume)
+
+
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
     from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if args.mode == "lm":
+        _lm_main(args)
+        return
     if args.synthetic:
         train_b, dev_b, vocab, tok = _synthetic_factories(args)
     else:

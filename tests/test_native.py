@@ -119,3 +119,20 @@ def test_batcher_native_matches_python(tmp_path):
     for a, b in zip(native_batches, py_batches):
         for k in ("noisy_wav", "clean_wav", "wav_lengths", "labels"):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_score_texts_word_and_char():
+    from robust_e2e_gan_tpu.ops.editdistance import score_texts
+
+    refs = ["the cat sat", "hello world"]
+    hyps = ["the cat sat", "hello word"]
+    r = score_texts(refs, hyps)
+    assert r["wer"]["ref_tokens"] == 5.0  # words
+    assert r["wer"]["errors"] == 1.0  # world->word substitution
+    assert r["cer"]["ref_tokens"] == float(
+        len("thecatsat") + len("helloworld")
+    )
+    assert r["cer"]["errors"] == 1.0  # one deleted char
+    # perfect hyp scores zero on both
+    p = score_texts(["a b"], ["a b"])
+    assert p["wer"]["error_rate"] == 0.0 and p["cer"]["error_rate"] == 0.0
