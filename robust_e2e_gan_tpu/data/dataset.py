@@ -205,12 +205,15 @@ class BucketBatcher:
         ignore_id: int = -1,
         seed: int = 0,
         drop_overlong: bool = True,
+        speaker_cmvn=None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
         self.buckets = sorted(length_buckets)
         self.max_label_len = max_label_len
         self.ignore_id = ignore_id
+        # data/cmvn.py::SpeakerCmvn -> per-batch (cmvn_mean, cmvn_inv_std)
+        self.speaker_cmvn = speaker_cmvn
         self.rng = np.random.default_rng(seed)
         self.n_clipped = 0
         order = sorted(
@@ -286,13 +289,18 @@ class BucketBatcher:
             loaded = (noisy, clean, lengths)
 
         noisy, clean, lengths = loaded
-        return {
+        batch = {
             "noisy_wav": noisy,
             "clean_wav": clean,
             "wav_lengths": lengths,
             "labels": labels,
             "utt_ids": ids,
         }
+        if self.speaker_cmvn is not None:
+            mean, inv_std = self.speaker_cmvn.lookup(ids)
+            batch["cmvn_mean"] = mean
+            batch["cmvn_inv_std"] = inv_std
+        return batch
 
     def epoch(self, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
         order = list(range(len(self.batches)))

@@ -12,8 +12,16 @@ implementation of the Kaldi binary table format:
   scp entry:  <key> ' ' <ark-path>:<byte-offset>\\n
 
 Text-format ark ("[ 1 2\\n 3 4 ]") is also read, since CMVN stats are often
-shipped that way. Compression (CM*) is not implemented — the rebuild's
-native path is npz/jsonl (data/dataset.py); gate with a clear error.
+shipped that way. Compressed matrices (the Kaldi CompressedMatrix formats
+"CM" / "CM2" / "CM3") are read and written too — real Kaldi-prepped CHiME-4
+dirs usually ship compressed feats, so a Kaldi corpus drops in unchanged:
+
+  CM  (format 1): GlobalHeader {f32 min, f32 range, i32 rows, i32 cols},
+      then cols x PerColHeader {4 x u16 percentiles p0,p25,p75,p100 encoded
+      on the global [min, min+range] scale}, then column-major u8 codes
+      (0..64 -> [p0,p25], 64..192 -> [p25,p75], 192..255 -> [p75,p100]).
+  CM2 (format 2): GlobalHeader, then row-major u16 on the global scale.
+  CM3 (format 3): GlobalHeader, then row-major u8 on the global scale.
 """
 
 from __future__ import annotations
@@ -83,12 +91,109 @@ def read_matrix(f: BinaryIO) -> np.ndarray:
         dt = np.float32 if kind == "FV" else np.float64
         data = np.frombuffer(f.read(n * dt().itemsize), dtype=dt)
         return data.astype(np.float32)
-    if kind.startswith("CM"):
-        raise NotImplementedError(
-            "compressed Kaldi matrices (CM*) are not supported; "
-            "use copy-feats to decompress or the native npz format"
-        )
+    if kind in ("CM", "CM2", "CM3"):
+        return _read_compressed(f, kind)
     raise ValueError(f"unknown Kaldi blob kind {kind!r}")
+
+
+def _read_compressed(f: BinaryIO, kind: str) -> np.ndarray:
+    """Decompress a Kaldi CompressedMatrix blob (format per module doc)."""
+    min_value, value_range = struct.unpack("<ff", f.read(8))
+    rows, cols = struct.unpack("<ii", f.read(8))
+    if kind == "CM2":
+        data = np.frombuffer(f.read(2 * rows * cols), dtype="<u2")
+        mat = min_value + value_range * data.astype(np.float64) / 65535.0
+        return mat.reshape(rows, cols).astype(np.float32)
+    if kind == "CM3":
+        data = np.frombuffer(f.read(rows * cols), dtype=np.uint8)
+        mat = min_value + value_range * data.astype(np.float64) / 255.0
+        return mat.reshape(rows, cols).astype(np.float32)
+    # format 1: per-column percentile headers + u8 codes, column-major
+    hdr = np.frombuffer(f.read(8 * cols), dtype="<u2").reshape(cols, 4)
+    pct = (
+        min_value + value_range * hdr.astype(np.float64) / 65535.0
+    )  # (cols, 4): p0, p25, p75, p100 per column
+    codes = np.frombuffer(f.read(rows * cols), dtype=np.uint8).reshape(
+        cols, rows
+    ).astype(np.float64)
+    p0, p25, p75, p100 = (pct[:, i : i + 1] for i in range(4))
+    lo = p0 + (p25 - p0) * (codes / 64.0)
+    mid = p25 + (p75 - p25) * ((codes - 64.0) / 128.0)
+    hi = p75 + (p100 - p75) * ((codes - 192.0) / 63.0)
+    col_major = np.where(
+        codes <= 64, lo, np.where(codes <= 192, mid, hi)
+    )
+    return col_major.T.astype(np.float32)
+
+
+def _float_to_u16(vals: np.ndarray, min_value: float, rng: float):
+    x = np.clip((vals - min_value) / max(rng, 1e-20), 0.0, 1.0)
+    return np.round(x * 65535.0).astype("<u2")
+
+
+def write_compressed_mat(
+    f: BinaryIO, key: str, mat: np.ndarray, fmt: int = 1
+) -> int:
+    """Append one compressed (CM/CM2/CM3) entry; returns blob offset.
+
+    The encoder mirrors Kaldi's CompressedMatrix: global [min, range] scale,
+    per-column percentile anchors for format 1 (taken at the sorted column's
+    0/25/75/100 percentiles), piecewise-linear u8 codes.
+    """
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    if mat.ndim != 2:
+        raise ValueError("compressed write needs a 2-D matrix")
+    rows, cols = mat.shape
+    min_value = float(mat.min()) if mat.size else 0.0
+    value_range = max(float(mat.max()) - min_value, 1e-10)
+
+    f.write(key.encode() + b" ")
+    offset = f.tell()
+    f.write(b"\x00B")
+    f.write({1: b"CM ", 2: b"CM2 ", 3: b"CM3 "}[fmt])
+    f.write(struct.pack("<ffii", min_value, value_range, rows, cols))
+    if fmt == 2:
+        f.write(_float_to_u16(mat, min_value, value_range).tobytes())
+        return offset
+    if fmt == 3:
+        x = np.clip((mat - min_value) / value_range, 0.0, 1.0)
+        f.write(np.round(x * 255.0).astype(np.uint8).tobytes())
+        return offset
+
+    srt = np.sort(mat, axis=0)  # per-column percentile anchors
+    q = lambda frac: srt[min(int(frac * (rows - 1)), rows - 1)]
+    p0, p25, p75, p100 = q(0.0), q(0.25), q(0.75), q(1.0)
+    p25 = np.maximum(p25, p0)
+    p75 = np.maximum(p75, p25)
+    p100 = np.maximum(p100, p75)
+    hdr = np.stack([
+        _float_to_u16(p, min_value, value_range)
+        for p in (p0, p25, p75, p100)
+    ], axis=1)  # (cols, 4)
+    # re-decode the quantized anchors so codes are chosen against what the
+    # reader will reconstruct (Kaldi does the same)
+    pq = min_value + value_range * hdr.astype(np.float64) / 65535.0
+    p0q, p25q, p75q, p100q = (pq[:, i] for i in range(4))
+    cm = mat.T.astype(np.float64)  # (cols, rows)
+
+    def enc(vals, lo, hi, base, scale):
+        span = np.maximum((hi - lo)[:, None], 1e-20)
+        return base + np.clip(
+            np.round((vals - lo[:, None]) / span * scale), 0, scale
+        )
+
+    codes = np.where(
+        cm <= p25q[:, None],
+        enc(cm, p0q, p25q, 0.0, 64.0),
+        np.where(
+            cm <= p75q[:, None],
+            enc(cm, p25q, p75q, 64.0, 128.0),
+            enc(cm, p75q, p100q, 192.0, 63.0),
+        ),
+    ).astype(np.uint8)
+    f.write(hdr.astype("<u2").tobytes())
+    f.write(codes.tobytes())
+    return offset
 
 
 def read_mat_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:

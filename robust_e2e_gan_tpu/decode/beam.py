@@ -607,10 +607,11 @@ def make_beam_searcher(
         def lm_init_fn(n):
             return lm.apply(lm_vars, n, method=lm.initial_carry)
 
-    def search(params, wav, wav_lengths):
+    def search(params, wav, wav_lengths, cmvn_batch=None):
         variables = {"params": params}
         hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
             variables, wav, wav_lengths, use_enhancer,
+            cmvn_batch=cmvn_batch,
             method=RobustE2E.encode_for_decode,
         )
 

@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "hypotheses finish")
     p.add_argument("--no-enhancer", action="store_true",
                    help="decode raw noisy features (cascade-off baseline)")
+    p.add_argument("--utt2spk",
+                   help="Kaldi utt2spk map for per-speaker CMVN (the "
+                        "experiment's cmvn mode must be 'speaker'; stats "
+                        "come from <ckpt-dir>/cmvn.ark or --cmvn-ark)")
+    p.add_argument("--cmvn-ark",
+                   help="speaker-keyed CMVN stats ark (default: "
+                        "<ckpt-dir>/cmvn.ark)")
     p.add_argument("--length-buckets", default="32000,64000,112000,160000")
     p.add_argument("--nbest", type=int, default=0,
                    help="also write the top-N beam hypotheses per utterance "
@@ -108,6 +115,11 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
         k: jnp.asarray(v)
         for k, v in make_batch(2, scfg, rng, ignore_id=-1).items()
     }
+    if jcfg.e2e.frontend.cmvn == "speaker":
+        # template-only stats; real per-utterance stats ride each batch
+        d = jcfg.e2e.frontend.n_mels
+        sample["cmvn_mean"] = jnp.zeros((2, d), jnp.float32)
+        sample["cmvn_inv_std"] = jnp.ones((2, d), jnp.float32)
     tcfg = cfg_lib.from_dict(TrainConfig, saved["train"])
     state, _, _ = init_train_state(model, disc, tcfg, sample, seed=0)
     if which == "best" and not ckpt_lib.has_checkpoint(ckpt_dir, "best"):
@@ -136,7 +148,16 @@ def main(argv: Optional[list] = None) -> None:
     else:
         raise SystemExit("need --manifest or --noisy-scp/--text")
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
-    batcher = BucketBatcher(ds, args.batch_size, buckets)
+    speaker_cmvn = None
+    if jcfg.e2e.frontend.cmvn == "speaker":
+        if not args.utt2spk:
+            raise SystemExit("cmvn mode 'speaker' requires --utt2spk")
+        from robust_e2e_gan_tpu.data.cmvn import SpeakerCmvn
+
+        cmvn_ark = args.cmvn_ark or os.path.join(args.ckpt_dir, "cmvn.ark")
+        speaker_cmvn = SpeakerCmvn.load(cmvn_ark, args.utt2spk)
+    batcher = BucketBatcher(ds, args.batch_size, buckets,
+                            speaker_cmvn=speaker_cmvn)
 
     bcfg = BeamSearchConfig(
         beam_size=args.beam_size, ctc_weight=args.ctc_weight,
@@ -157,9 +178,9 @@ def main(argv: Optional[list] = None) -> None:
                                   lm=lm, lm_params=lm_params)
 
     @jax.jit
-    def greedy_fn(params, wav, lens):
+    def greedy_fn(params, wav, lens, cmvn_batch=None):
         hs, hmask, hlens, ctc_logits, _ = model.apply(
-            {"params": params}, wav, lens, use_enh,
+            {"params": params}, wav, lens, use_enh, cmvn_batch=cmvn_batch,
             method=RobustE2E.encode_for_decode,
         )
         return ctc_greedy_decode(ctc_logits, hlens, jcfg.e2e.blank_id)
@@ -192,11 +213,18 @@ def main(argv: Optional[list] = None) -> None:
     for batch in batcher.epoch(shuffle=False):
         wav = jnp.asarray(batch["noisy_wav"])
         lens = jnp.asarray(batch["wav_lengths"])
+        cmvn_batch = (
+            (jnp.asarray(batch["cmvn_mean"]),
+             jnp.asarray(batch["cmvn_inv_std"]))
+            if "cmvn_mean" in batch else None
+        )
         if args.greedy:
-            toks = np.asarray(greedy_fn(state.params_g, wav, lens))
+            toks = np.asarray(
+                greedy_fn(state.params_g, wav, lens, cmvn_batch)
+            )
             batch_hyps = [[int(x) for x in row if x != -1] for row in toks]
         else:
-            res = searcher(state.params_g, wav, lens)
+            res = searcher(state.params_g, wav, lens, cmvn_batch)
             toks = np.asarray(res.tokens)
             batch_hyps = [[int(x) for x in row if x != -1] for row in toks]
             if args.nbest > 0:

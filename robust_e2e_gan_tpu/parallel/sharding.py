@@ -73,13 +73,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded on the batch dimension.
 
-    The leading dim must divide by the data-axis size (the input pipeline
-    guarantees this: global batch = per-device batch x data-axis size).
+    Single process: ``batch`` is the GLOBAL batch; its leading dim must
+    divide by the data-axis size. Multi-process (multi-host feeding,
+    SURVEY.md section 2c): each process passes only its LOCAL slice of the
+    global batch (see ``process_batch_slice``) and the global array is
+    assembled from the per-process shards — ``jax.device_put`` cannot
+    address other hosts' devices, so the local-data constructor is used.
+    Exercised by a real 2-process run in tests/test_multihost.py.
     """
     sh = batch_sharding(mesh)
     n_data = mesh.shape[DATA_AXIS]
+    multi = jax.process_count() > 1
 
     def put(x):
+        if multi:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         x = jnp.asarray(x)
         if x.ndim == 0 or x.shape[0] % n_data:
             raise ValueError(

@@ -89,7 +89,10 @@ class RobustE2E(nn.Module):
         return enhanced, tf_mask, fmask
 
     def features_from_power(
-        self, power: jnp.ndarray, fmask: Optional[jnp.ndarray]
+        self,
+        power: jnp.ndarray,
+        fmask: Optional[jnp.ndarray],
+        cmvn_batch: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         fcfg = self.cfg.e2e.frontend
         feats = fbank_ops.log_mel(power, fcfg)
@@ -105,6 +108,17 @@ class RobustE2E(nn.Module):
             feats = fbank_ops.apply_cmvn(
                 feats, jnp.asarray(mean), jnp.asarray(inv_std)
             )
+        elif fcfg.cmvn == "speaker":
+            # Kaldi apply-cmvn --utt2spk: per-utterance speaker stats come
+            # in with the batch (data/cmvn.py::SpeakerCmvn)
+            if cmvn_batch is None:
+                raise ValueError(
+                    'FrontendConfig.cmvn="speaker" needs per-batch '
+                    "(cmvn_mean, cmvn_inv_std) arrays (BucketBatcher with "
+                    "speaker_cmvn=...)"
+                )
+            mean, inv_std = cmvn_batch
+            feats = (feats - mean[:, None, :]) * inv_std[:, None, :]
         elif fcfg.cmvn != "none":
             raise ValueError(f"unknown cmvn mode {fcfg.cmvn!r}")
         if fmask is not None:
@@ -130,6 +144,7 @@ class RobustE2E(nn.Module):
         ys_pad: jnp.ndarray,
         use_enhancer: bool = False,
         deterministic: bool = True,
+        cmvn_batch: Optional[Tuple] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Clean-ASR pretraining forward (SURVEY.md train script (a))."""
         if self._use_fused_frontend(use_enhancer):
@@ -144,7 +159,7 @@ class RobustE2E(nn.Module):
             power, fmask = self.noisy_power(wav, wav_lengths)
             if use_enhancer:
                 power, _ = self.enhancer(power, fmask)
-            feats = self.features_from_power(power, fmask)
+            feats = self.features_from_power(power, fmask, cmvn_batch)
         flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
         return self.asr(feats, flens, ys_pad, deterministic=deterministic)
 
@@ -155,6 +170,7 @@ class RobustE2E(nn.Module):
         wav_lengths: jnp.ndarray,
         ys_pad: jnp.ndarray,
         deterministic: bool = True,
+        cmvn_batch: Optional[Tuple] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Joint path: everything the G-step and D-step need, in one forward
         (SURVEY.md call stack 3.1). Returns ASR losses plus the spectra and
@@ -163,7 +179,7 @@ class RobustE2E(nn.Module):
         clean_power, _ = self.noisy_power(clean_wav, wav_lengths)
         enhanced_power, tf_mask = self.enhancer(noisy_power, fmask)
 
-        feats = self.features_from_power(enhanced_power, fmask)
+        feats = self.features_from_power(enhanced_power, fmask, cmvn_batch)
         flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
         asr_out = self.asr(feats, flens, ys_pad, deterministic=deterministic)
 
@@ -185,6 +201,7 @@ class RobustE2E(nn.Module):
         wav: jnp.ndarray,
         wav_lengths: jnp.ndarray,
         use_enhancer: bool = True,
+        cmvn_batch: Optional[Tuple] = None,
     ):
         """wav -> (enc_hs, enc_mask, hlens, ctc_logits, enc_proj): everything
         the batched beam search needs, in one jitted call."""
@@ -198,7 +215,7 @@ class RobustE2E(nn.Module):
             power, fmask = self.noisy_power(wav, wav_lengths)
             if use_enhancer:
                 power, _ = self.enhancer(power, fmask)
-            feats = self.features_from_power(power, fmask)
+            feats = self.features_from_power(power, fmask, cmvn_batch)
         flens = jnp.sum(fmask, axis=-1).astype(jnp.int32) if fmask is not None else None
         hs, hmask, hlens = self.asr.encode(feats, flens)
         ctc_logits = self.asr.ctc_logits(hs)

@@ -73,14 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint BLSTM layers (HBM vs recompute)")
-    p.add_argument("--cmvn", choices=("utterance", "global", "none"),
+    p.add_argument("--cmvn",
+                   choices=("utterance", "global", "speaker", "none"),
                    default="utterance")
     p.add_argument("--fused-frontend", action="store_true",
                    help="fused Pallas fbank kernel on enhancer-free paths "
                         "(clean-ASR pretrain fwd+bwd, no-enhancer decode)")
     p.add_argument("--cmvn-ark",
-                   help="Kaldi CMVN stats ark for --cmvn global "
+                   help="Kaldi CMVN stats ark: global stats for --cmvn "
+                        "global, speaker-keyed for --cmvn speaker "
                         "(data/cmvn.py layout)")
+    p.add_argument("--utt2spk",
+                   help="Kaldi utt2spk map (required for --cmvn speaker)")
     # optimization
     p.add_argument("--optimizer", choices=("adadelta", "adam"),
                    default="adadelta")
@@ -178,11 +182,20 @@ def _corpus_factories(args):
     tok = train_ds.tokenizer
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
 
+    speaker_cmvn = None
+    if args.cmvn == "speaker":
+        if not (args.cmvn_ark and args.utt2spk):
+            raise SystemExit("--cmvn speaker requires --cmvn-ark (speaker-"
+                             "keyed) and --utt2spk")
+        from robust_e2e_gan_tpu.data.cmvn import SpeakerCmvn
+
+        speaker_cmvn = SpeakerCmvn.load(args.cmvn_ark, args.utt2spk)
+
     # one batcher shared across epochs: its rng advances every .epoch()
     # call, so batch order reshuffles per epoch like the reference loop
     train_batcher = BucketBatcher(
         train_ds, args.batch_size, buckets, args.max_label_len,
-        seed=args.seed,
+        seed=args.seed, speaker_cmvn=speaker_cmvn,
     )
 
     def train_batches():
@@ -193,6 +206,7 @@ def _corpus_factories(args):
         dev_ds = AudioTextDataset.from_jsonl(args.dev_manifest, tokenizer=tok)
         dev_batcher = BucketBatcher(
             dev_ds, args.batch_size, buckets, args.max_label_len,
+            speaker_cmvn=speaker_cmvn,
         )
 
         def dev_batches():
@@ -303,6 +317,12 @@ def main(argv: Optional[list] = None) -> None:
         import shutil
 
         cmvn_stats = stats_to_mean_inv_std(load_cmvn_ark(args.cmvn_ark))
+        shutil.copy(args.cmvn_ark, os.path.join(args.ckpt_dir, "cmvn.ark"))
+    elif args.cmvn == "speaker":
+        import shutil
+
+        # speaker-keyed stats travel with the experiment so decode can
+        # reload them (decode/cli.py --utt2spk)
         shutil.copy(args.cmvn_ark, os.path.join(args.ckpt_dir, "cmvn.ark"))
 
     mesh = None

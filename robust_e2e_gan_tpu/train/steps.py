@@ -98,6 +98,7 @@ def init_train_state(
         sample_batch["clean_wav"],
         sample_batch["wav_lengths"],
         sample_batch["labels"],
+        cmvn_batch=_cmvn_batch(sample_batch),
         method=RobustE2E.joint_forward,
     )
     params_g = vars_g["params"]
@@ -108,6 +109,7 @@ def init_train_state(
         sample_batch["clean_wav"],
         sample_batch["wav_lengths"],
         sample_batch["labels"],
+        cmvn_batch=_cmvn_batch(sample_batch),
         method=RobustE2E.joint_forward,
     )
     vars_d = discriminator.init(kd, out["clean_logmel"], out["frame_mask"])
@@ -123,6 +125,14 @@ def init_train_state(
         rng=rng,
     )
     return state, opt_g, opt_d
+
+
+def _cmvn_batch(batch):
+    """Per-batch speaker-CMVN stats when the loader attached them
+    (FrontendConfig.cmvn="speaker"; data/cmvn.py::SpeakerCmvn)."""
+    if "cmvn_mean" in batch:
+        return (batch["cmvn_mean"], batch["cmvn_inv_std"])
+    return None
 
 
 def make_asr_pretrain_step(
@@ -144,6 +154,7 @@ def make_asr_pretrain_step(
                 batch["labels"],
                 use_enhancer=use_enhancer,
                 deterministic=False,
+                cmvn_batch=_cmvn_batch(batch),
                 method=RobustE2E.asr_forward,
                 rngs=rngs,
             )
@@ -182,6 +193,7 @@ def make_eval_step(model: RobustE2E, use_enhancer: bool = True) -> Callable:
         out = model.apply(
             {"params": params_g}, wav, batch["wav_lengths"],
             batch["labels"], use_enhancer=use_enhancer,
+            cmvn_batch=_cmvn_batch(batch),
             method=RobustE2E.asr_forward,
         )
         return {
@@ -212,6 +224,7 @@ def _gan_terms(
         batch["wav_lengths"],
         batch["labels"],
         deterministic=deterministic,
+        cmvn_batch=_cmvn_batch(batch),
         method=RobustE2E.joint_forward,
         rngs=rngs,
     )

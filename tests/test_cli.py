@@ -191,3 +191,53 @@ def test_lm_train_and_fusion_cli(tmp_path):
     loss, ppl = lm_loss(logits, ys_out, -1)
     # trained LM must beat the uniform distribution over the vocab
     assert float(ppl) < scfg.vocab_size, float(ppl)
+
+
+def test_speaker_cmvn_cli(manifest, tmp_path):
+    """--cmvn speaker end-to-end: speaker-keyed stats ark + utt2spk ->
+    train -> decode reloads both (Kaldi apply-cmvn --utt2spk parity)."""
+    from robust_e2e_gan_tpu.data.cmvn import CmvnAccumulator, SpeakerCmvn
+    from robust_e2e_gan_tpu.data import kaldi_io
+
+    rng = np.random.default_rng(3)
+    ark = str(tmp_path / "spk_cmvn.ark")
+    with open(ark, "wb") as f:
+        for spk in ("s0", "s1"):
+            acc = CmvnAccumulator(24)
+            acc.add(rng.standard_normal((60, 24)) * 2.0 + 0.5)
+            kaldi_io.write_mat(f, spk, acc.stats())
+    u2s = str(tmp_path / "utt2spk")
+    with open(u2s, "w") as f:
+        for i in range(8):
+            f.write(f"u{i} s{i % 2}\n")
+
+    # unit: lookup stacks the right speaker stats per utterance
+    sc = SpeakerCmvn.load(ark, u2s)
+    mean, inv_std = sc.lookup(["u0", "u1", "u2"])
+    assert mean.shape == (3, 24) and inv_std.shape == (3, 24)
+    np.testing.assert_array_equal(mean[0], mean[2])  # both s0
+    assert not np.array_equal(mean[0], mean[1])
+
+    ckpt = str(tmp_path / "exp_spk")
+    train_cli.main([
+        "--mode", "asr",
+        "--train-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+        "--cmvn", "speaker", "--cmvn-ark", ark, "--utt2spk", u2s,
+    ])
+    assert os.path.exists(os.path.join(ckpt, "cmvn.ark"))
+
+    out = str(tmp_path / "dec_spk")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
+        "--batch-size", "4", "--greedy", "--length-buckets", "16000",
+        "--utt2spk", u2s,
+    ])
+    with open(os.path.join(out, "wer.json")) as f:
+        rep = json.load(f)
+    assert rep["n_utts"] == 8 and "wer" in rep and "cer" in rep
