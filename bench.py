@@ -65,7 +65,11 @@ def main():
         _flagship_config(vocab), compute_dtype="bfloat16"
     )
     model = build_model(jcfg)
-    bcfg = BeamSearchConfig(beam_size=8, ctc_weight=0.3, max_steps=48)
+    # early_exit=False: with untrained weights hypotheses can emit eos
+    # arbitrarily early, so the honest throughput number runs the full
+    # 48-step search; production decode keeps the (token-exact) early exit.
+    bcfg = BeamSearchConfig(beam_size=8, ctc_weight=0.3, max_steps=48,
+                            early_exit=False)
 
     rng = np.random.default_rng(0)
     # ~7 s utterances (CHiME-4-era utterance scale): 58 tokens * 120 ms

@@ -65,6 +65,10 @@ class EncoderConfig:
     dropout_rate: float = 0.0
     subsample_factor: int = 4  # fixed by the two VGG 2x2 maxpools
     remat: bool = False  # jax.checkpoint each BLSTM layer (HBM vs recompute)
+    # LSTM scan unroll (0 = models/rnn.py DEFAULT_UNROLL). v5e-measured:
+    # 4 speeds the joint train step ~11% but slows batched decode ~9%, so
+    # training configs opt in (train CLI --scan-unroll) and decode keeps 1.
+    scan_unroll: int = 0
 
 
 @dataclass(frozen=True)
@@ -106,6 +110,7 @@ class EnhancerConfig:
     mask_floor: float = 0.0  # optional lower bound on the mask
     compression: str = "log1p"  # input compression: log1p | log | none
     remat: bool = False  # jax.checkpoint each BLSTM layer
+    scan_unroll: int = 0  # see EncoderConfig.scan_unroll
 
 
 @dataclass(frozen=True)
@@ -170,11 +175,17 @@ class BeamSearchConfig:
     maxlen_ratio: float = 0.0
     minlen_ratio: float = 0.0
     length_normalize: bool = False  # normalize final scores by length
-    # CTC prefix recursion implementation. "scan" (sequential lax.scan over
-    # frames) measures 47 ms vs 4800 ms for "parallel" (cumlogsumexp) on the
-    # v5e benchmark decode — XLA:TPU lowers cumlogsumexp poorly — so scan is
-    # the default; "parallel" is kept as an equivalence-tested alternative.
-    prefix_impl: str = "scan"
+    # CTC prefix recursion implementation, v5e-measured on the benchmark
+    # decode (B=128, beam 8, ~7 s utterances, full 48-step scan):
+    #   "twopass"  79 ms/batch — psi-only recursion + selected-token state
+    #              recompute (no (T,B,K,V) stacked outputs); DEFAULT.
+    #   "scan"    146 ms/batch — round-1 full recursion with stacked outputs.
+    #   "pallas"  556 ms/batch — VMEM-resident kernel, exact vs scan, but
+    #              its per-utterance grid serializes B x T (future work:
+    #              batch-tiled variant with HBM-streamed lpz).
+    #   "parallel" ~100x slower — cumlogsumexp lowers poorly on XLA:TPU.
+    # All four are equivalence-tested (tests/test_beam.py).
+    prefix_impl: str = "twopass"
     # Early exit: run the decode loop as a lax.while_loop that stops once
     # every hypothesis in the batch has emitted eos (or end-detect fires),
     # instead of always scanning max_steps. Token-exact with the scan path

@@ -83,6 +83,7 @@ class Encoder(nn.Module):
             proj_dim=self.cfg.proj_dim,
             dropout_rate=self.cfg.dropout_rate,
             dtype=self.dtype,
+            unroll=self.cfg.scan_unroll or None,
             remat=self.cfg.remat,
             name="blstmp",
         )(h, hmask, deterministic=deterministic)

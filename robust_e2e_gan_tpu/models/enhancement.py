@@ -48,7 +48,8 @@ class EnhanceNet(nn.Module):
         h = x
         for i in range(self.cfg.num_layers):
             h = blstm_cls(
-                self.cfg.hidden_dim, dtype=self.dtype, name=f"blstm{i}"
+                self.cfg.hidden_dim, dtype=self.dtype,
+                unroll=self.cfg.scan_unroll or None, name=f"blstm{i}"
             )(h, frame_mask)
         m = nn.Dense(self.cfg.input_dim, dtype=self.dtype, name="mask_out")(h)
         tf_mask = jax.nn.sigmoid(m)

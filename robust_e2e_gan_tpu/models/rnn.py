@@ -23,8 +23,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Global scan-unroll default for LSTMScan (overridable per module instance).
-# Parameters are unroll-independent, so this can be tuned without re-init.
+# Global scan-unroll default for LSTMScan (overridable per module instance
+# or via EncoderConfig/EnhancerConfig.scan_unroll). Parameters are
+# unroll-independent, so this can be tuned without re-init.
+# v5e-measured (scripts/bench_train.py + bench.py): unroll 4 speeds the
+# joint TRAIN step 43.0 -> 38.2 ms (f32) / 36.2 -> 33.8 ms (bf16) at B=32,
+# but SLOWS the batched beam decode 1710 -> 1560 utt/s, so the global
+# default stays 1 and training runs opt in per-config.
 DEFAULT_UNROLL = 1
 
 
@@ -209,6 +214,7 @@ class BLSTMP(nn.Module):
     proj_dim: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    unroll: Optional[int] = None  # scan unroll for each BLSTM layer
     remat: bool = False  # rematerialize each BLSTM layer in the backward
     # pass (jax.checkpoint): trades recompute for activation HBM on long
     # utterances
@@ -224,7 +230,8 @@ class BLSTMP(nn.Module):
         h = x
         for i in range(self.num_layers):
             h = blstm_cls(
-                self.hidden_dim, dtype=self.dtype, name=f"blstm{i}"
+                self.hidden_dim, dtype=self.dtype, unroll=self.unroll,
+                name=f"blstm{i}"
             )(h, mask)
             h = nn.Dense(
                 self.proj_dim, dtype=self.dtype, name=f"proj{i}"

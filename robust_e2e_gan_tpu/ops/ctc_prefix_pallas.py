@@ -15,12 +15,31 @@ pruning step actually consumes), with the whole T-loop resident in VMEM:
     decode/ctc_prefix.py for the scalar oracle) runs as a fori_loop over
     frames with (K, V) carries r^n/r^b/psi held on-chip — zero HBM traffic
     per frame beyond the streamed lpz rows.
+  * per-beam parent state (r^b/r^n at frame t-1) and the blank log-prob are
+    packed as (3K, T) ROWS and selected per frame by a one-hot matvec on
+    the MXU — Mosaic has no clean dynamic LANE indexing or small
+    transposes, and a (3K, T_pad128) @ (T_pad128, 1) product is the
+    hardware-native way to read a column into sublanes.
+  * the per-beam selection masks (is-last-token, empty-prefix phi0) are
+    precomputed on the host as (B, Kp, Vp) arrays — cheap XLA elementwise
+    work — because Mosaic rejects the SMEM-scalar compare loop that would
+    build them in-kernel.
   * the forward state of the SELECTED extension is not produced here; the
     search recomputes it for the chosen token only (V x cheaper) with
     ``decode/beam.py::prefix_state_for_token``.
 
 Equivalence with the XLA scan (and transitively the numpy oracle) is
-asserted in tests/test_beam.py. Runs interpreted off-TPU for tests.
+asserted in tests/test_beam.py; on the real v5e chip the kernel's psi is
+bit-exact vs the scan. Runs interpreted off-TPU for tests.
+
+Measured v5e status (scripts/bench_prefix.py, B=128 beam 8): the winning
+formulation is the XLA "twopass" (79 ms/batch vs 146 ms for the round-1
+scan — the shipped default); THIS kernel lands at 556 ms because its
+grid=(B,) serializes the frame loop per utterance (serial chain B x T
+instead of T). A faster variant needs batch tiling with HBM-streamed lpz
+rows (double-buffered DMA) so several utterances share one frame loop —
+kept as future work since the prefix recursion no longer dominates the
+decode step after the twopass restructure.
 """
 
 from __future__ import annotations
@@ -39,35 +58,50 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(t: int, blank: int, eos: int, kp: int, vp: int):
-    def kernel(lpz_ref, rn_ref, rb_ref, last_ref, len_ref, out_ref):
-        last = last_ref[0]  # (Kp,)
-        lens = len_ref[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (kp, vp), 1)
-        is_last = (col == last[:, None]) & (lens[:, None] > 0)
-        phi0 = jnp.where(
-            lens[:, None] == 0, 0.0, LOG_ZERO
-        ).astype(jnp.float32)  # (Kp, 1) -> broadcasts over V
+def _kernel(t: int, t_pad: int, blank: int, eos: int, kp: int, vp: int):
+    def kernel(lpz_ref, st_ref, is_ref, phi0_ref, out_ref):
+        is_last = is_ref[0] > 0.5  # (Kp, Vp) host-precomputed mask
+        phi0 = phi0_ref[0]  # (Kp, Vp)
+
+        st = st_ref[0]  # (3Kp, T_pad): rows = [r^b | r^n | blank lpz]
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+        ones_v = jnp.ones((1, vp), jnp.float32)
+
+        def col_at(idx):
+            # exact column select: one-hot matvec (HIGHEST precision — the
+            # default MXU path rounds operands through bf16), then lane
+            # replication via a second matmul ((Kp,1)->(Kp,Vp) elementwise
+            # broadcast is an invalid Mosaic relayout)
+            onehot = (t_iota == idx).astype(jnp.float32)
+            col = jnp.dot(st, onehot, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            return jnp.dot(col, ones_v, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
         def body(tt, carry):
             rn, rb, psi = carry  # (Kp, Vp) each, VMEM-resident
-            x_t = lpz_ref[0, tt, :]  # (Vp,)
-            tm1 = jnp.maximum(tt - 1, 0)
-            rb_tm1 = rb_ref[0, tm1, :]  # (Kp,) parent r^b at frame t-1
-            rs_tm1 = jnp.logaddexp(rn_ref[0, tm1, :], rb_tm1)
-            phi = jnp.where(is_last, rb_tm1[:, None], rs_tm1[:, None])
+            x_t = lpz_ref[0, tt, :][None, :]  # (1, Vp)
+            sel_p = col_at(jnp.maximum(tt - 1, 0))  # parent state at t-1
+            rb_tm1 = sel_p[0:kp]  # (Kp, 1)
+            rn_tm1 = sel_p[kp : 2 * kp]
+            rs_tm1 = jnp.logaddexp(rn_tm1, rb_tm1)
+            xb = col_at(tt)[2 * kp : 3 * kp]  # blank lpz at t, per beam row
+            phi = jnp.where(is_last, rb_tm1, rs_tm1)
             phi = jnp.where(tt == 0, phi0, phi)
-            rn_new = x_t[None, :] + jnp.logaddexp(rn, phi)
-            rb_new = x_t[blank] + jnp.logaddexp(rn, rb)
-            psi_new = jnp.logaddexp(psi, phi + x_t[None, :])
+            rn_new = x_t + jnp.logaddexp(rn, phi)
+            rb_new = xb + jnp.logaddexp(rn, rb)
+            psi_new = jnp.logaddexp(psi, phi + x_t)
             return rn_new, rb_new, psi_new
 
         z = jnp.full((kp, vp), LOG_ZERO, jnp.float32)
         _, _, psi = jax.lax.fori_loop(0, t, body, (z, z, z))
         # eos candidate = full-sequence CTC score of the prefix itself
-        r_last = jnp.logaddexp(rn_ref[0, t - 1, :], rb_ref[0, t - 1, :])
-        psi = psi.at[:, eos].set(r_last)
-        psi = psi.at[:, blank].set(LOG_ZERO)
+        # (column writes as iota masks: scatter does not lower on TPU)
+        sel_l = col_at(t - 1)
+        r_last = jnp.logaddexp(sel_l[0:kp], sel_l[kp : 2 * kp])  # (Kp, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kp, vp), 1)
+        psi = jnp.where(col == eos, r_last, psi)
+        psi = jnp.where(col == blank, LOG_ZERO, psi)
         out_ref[0] = psi
 
     return kernel
@@ -92,19 +126,33 @@ def prefix_scores_psi_pallas(
     b, t, v = lpz.shape
     k = last_tok.shape[1]
     kp, vp = _round_up(k, 8), _round_up(v, 128)
+    t_pad = _round_up(t, 128)
 
     lpz_p = jnp.pad(lpz, ((0, 0), (0, 0), (0, vp - v)),
                     constant_values=LOG_ZERO)
-    # (B, T, Kp) frame-major parent state (kernel reads one frame per step)
-    def to_tk(x, fill):
-        x = jnp.moveaxis(x, 1, 2)  # (B, T, K)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, kp - k)),
-                       constant_values=fill)
+    # packed per-beam rows: [r^b (Kp) | r^n (Kp) | blank lpz (Kp copies)]
+    def rows(x, fill):
+        x = jnp.pad(x, ((0, 0), (0, kp - k), (0, 0)), constant_values=fill)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t)))
 
-    rn_tk = to_tk(r_n, LOG_ZERO)
-    rb_tk = to_tk(r_b, 0.0)  # pad beams look like the empty prefix
-    last_p = jnp.pad(last_tok.astype(jnp.int32), ((0, 0), (0, kp - k)))
-    len_p = jnp.pad(lengths.astype(jnp.int32), ((0, 0), (0, kp - k)))
+    blank_rows = jnp.broadcast_to(
+        lpz[:, None, :, blank], (b, kp, t)
+    )
+    st = jnp.concatenate(
+        [rows(r_b, 0.0), rows(r_n, LOG_ZERO), rows(blank_rows, 0.0)], axis=1
+    )  # (B, 3Kp, T_pad)
+    vocab_ids = jnp.arange(vp, dtype=jnp.int32)
+    is_last = (
+        (vocab_ids[None, None, :] == last_tok[:, :, None])
+        & (lengths[:, :, None] > 0)
+    ).astype(jnp.float32)
+    is_last = jnp.pad(is_last, ((0, 0), (0, kp - k), (0, 0)))
+    phi0 = jnp.where(
+        lengths[:, :, None] == 0, 0.0, LOG_ZERO
+    ).astype(jnp.float32)
+    phi0 = jnp.broadcast_to(phi0, (b, k, vp))
+    phi0 = jnp.pad(phi0, ((0, 0), (0, kp - k), (0, 0)),
+                   constant_values=LOG_ZERO)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -114,27 +162,26 @@ def prefix_scores_psi_pallas(
         in_specs=[
             pl.BlockSpec((1, t, vp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, kp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3 * kp, t_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, kp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, kp, vp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda i: (i, 0),
+            pl.BlockSpec((1, kp, vp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, kp, vp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     psi = pl.pallas_call(
-        _kernel(t, blank, eos, kp, vp),
+        _kernel(t, t_pad, blank, eos, kp, vp),
         out_shape=jax.ShapeDtypeStruct((b, kp, vp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=10 * b * t * kp * vp,
-            bytes_accessed=4 * b * t * (vp + 2 * kp) + 4 * b * kp * vp,
+            flops=10 * b * t * kp * vp + 6 * b * t * kp * t_pad,
+            bytes_accessed=4 * b * t * vp + 4 * b * 3 * kp * t_pad
+            + 4 * b * kp * vp,
             transcendentals=3 * b * t * kp * vp,  # logaddexp = exp+log1p
         ),
-    )(lpz_p, rn_tk, rb_tk, last_p, len_p)
+    )(lpz_p, st, is_last, phi0)
     return psi[:, :k, :v]

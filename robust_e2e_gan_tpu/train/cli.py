@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint BLSTM layers (HBM vs recompute)")
+    p.add_argument("--scan-unroll", type=int, default=4,
+                   help="LSTM scan unroll for TRAINING models (v5e-tuned "
+                        "default 4; decode rebuilds with 1)")
     p.add_argument("--cmvn",
                    choices=("utterance", "global", "speaker", "none"),
                    default="utterance")
@@ -114,7 +117,7 @@ def configs_from_args(args, vocab_size: int):
             encoder=EncoderConfig(
                 input_dim=args.n_mels, num_layers=args.enc_layers,
                 hidden_dim=args.enc_hidden, proj_dim=args.enc_proj,
-                remat=args.remat,
+                remat=args.remat, scan_unroll=args.scan_unroll,
             ),
             attention=AttentionConfig(dim=args.att_dim),
             decoder=DecoderConfig(
@@ -126,7 +129,7 @@ def configs_from_args(args, vocab_size: int):
         ),
         enhancer=EnhancerConfig(
             num_layers=args.enh_layers, hidden_dim=args.enh_hidden,
-            remat=args.remat,
+            remat=args.remat, scan_unroll=args.scan_unroll,
         ),
         discriminator=DiscriminatorConfig(input_dim=args.n_mels),
         lambda_adv=args.lambda_adv,

@@ -17,6 +17,7 @@ Writes a JSON summary. Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 
@@ -56,11 +57,14 @@ JCFG = JointConfig(
         attention=AttentionConfig(dim=64, conv_channels=8, conv_kernel=31),
         decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=48, hidden_dim=96),
     ),
-    enhancer=EnhancerConfig(input_dim=257, num_layers=1, hidden_dim=64),
+    enhancer=EnhancerConfig(input_dim=257, num_layers=2, hidden_dim=128),
     discriminator=DiscriminatorConfig(input_dim=40, channels=(8, 16)),
-    mu_enh=3.0,  # stronger pull to clean spectra: the cascade baseline's
-    # enhancer has no ASR loss to regularize it, only adv + MSE
+    mu_enh=3.0,
 )
+# Stage-(b) loss weights: a separately-trained enhancement frontend is
+# MSE-dominant (the adversarial term against a winning D only distorts an
+# enhancer that gets no ASR gradient); the joint stage keeps JCFG's weights.
+JCFG_CASCADE = dataclasses.replace(JCFG, lambda_adv=0.1, mu_enh=10.0)
 TCFG = TrainConfig(optimizer="adam", learning_rate=1e-3)
 PAD_TO = SCFG.max_samples
 
@@ -120,7 +124,7 @@ def main(steps_a=400, steps_c=400):
     # enhancer needs more optimization than the joint stage to be a fair
     # cascade baseline (the paper's cascade uses a fully-trained frontend),
     # so it gets 2x the steps.
-    step_b = make_joint_train_step(model, disc, JCFG, opt_g, opt_d,
+    step_b = make_joint_train_step(model, disc, JCFG_CASCADE, opt_g, opt_d,
                                    with_asr=False)
     for i, b in enumerate(batches(rng, 2 * steps_c)):
         state, m = step_b(state, b)

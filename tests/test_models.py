@@ -290,3 +290,39 @@ def test_scheduled_sampling(rng):
         rngs={"sampling": jax.random.PRNGKey(2)},
     )
     np.testing.assert_array_equal(np.asarray(ss_logits), np.asarray(ss2))
+
+
+def test_scan_unroll_invariance():
+    """scan_unroll is a scheduling knob: outputs are identical for any
+    unroll (v5e tuning made it a train-config option, round-1 VERDICT #10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robust_e2e_gan_tpu.models.rnn import BLSTMP
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 13, 6)).astype(np.float32)
+    )
+    mask = jnp.asarray([[1.0] * 13, [1.0] * 7 + [0.0] * 6], jnp.float32)
+    m1 = BLSTMP(num_layers=1, hidden_dim=8, proj_dim=8, unroll=1)
+    m4 = BLSTMP(num_layers=1, hidden_dim=8, proj_dim=8, unroll=4)
+    params = m1.init(jax.random.PRNGKey(0), x, mask)["params"]
+    y1 = m1.apply({"params": params}, x, mask)
+    y4 = m4.apply({"params": params}, x, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y4),
+                               rtol=1e-6, atol=1e-6)
+
+    # config plumbing reaches the scan
+    from robust_e2e_gan_tpu.config import EncoderConfig
+    from robust_e2e_gan_tpu.models.encoder import Encoder
+
+    cfg = EncoderConfig(input_dim=6, vgg_channels=(2, 4), num_layers=1,
+                        hidden_dim=8, proj_dim=8, scan_unroll=4)
+    enc = Encoder(cfg)
+    feats = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 16, 6)).astype(np.float32)
+    )
+    p = enc.init(jax.random.PRNGKey(0), feats, jnp.asarray([16, 10]))["params"]
+    hs, hmask, hlens = enc.apply({"params": p}, feats,
+                                 jnp.asarray([16, 10]))
+    assert np.isfinite(np.asarray(hs)).all()
