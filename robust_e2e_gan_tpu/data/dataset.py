@@ -84,11 +84,17 @@ class Utterance:
     utt_id: str
     text: str
     n_samples: int
-    # exactly one of (noisy_path, noisy_ark) is set per source kind
+    # exactly one of (noisy_path, noisy_ark, feats_ark) is set per source
+    # kind; for feats_ark utterances n_samples counts FRAMES, not samples
     noisy_path: Optional[str] = None
     clean_path: Optional[str] = None
     noisy_ark: Optional[Tuple[str, int]] = None
     clean_ark: Optional[Tuple[str, int]] = None
+    feats_ark: Optional[Tuple[str, int]] = None
+
+    def load_feats(self) -> np.ndarray:
+        """(T, D) precomputed feature matrix (Kaldi feats.scp source)."""
+        return kaldi_io.read_mat_at(*self.feats_ark).astype(np.float32)
 
     def load(self) -> Tuple[np.ndarray, np.ndarray]:
         if self.noisy_path is not None:
@@ -179,6 +185,42 @@ class AudioTextDataset:
             tokenizer = CharTokenizer.from_texts([u.text for u in utts])
         return cls(utts, tokenizer)
 
+    @classmethod
+    def from_kaldi_feats(
+        cls,
+        feats_scp: str,
+        text_path: str,
+        tokenizer: Optional[CharTokenizer] = None,
+    ) -> "AudioTextDataset":
+        """Kaldi PRECOMPUTED-features source: feats.scp of (T, D) matrices.
+
+        This is what the reference actually consumed (SURVEY.md L1: the
+        loader yields padded feature batches from Kaldi feats.scp;
+        compressed CM* arks decode transparently). Batches carry
+        "feats"/"feat_lengths" instead of waveforms and train/decode
+        bypass the on-device frontend (and the enhancer — enhancement
+        needs the linear spectrum, which offline fbank has discarded).
+        """
+        idx = kaldi_io.read_scp_index(feats_scp)
+        texts: Dict[str, str] = {}
+        with open(text_path) as f:
+            for line in f:
+                parts = line.strip().split(None, 1)
+                if len(parts) == 2:
+                    texts[parts[0]] = parts[1]
+        utts = []
+        for key, (ark, off) in idx.items():
+            if key not in texts:
+                continue
+            t = kaldi_io.read_mat_at(ark, off).shape[0]
+            utts.append(Utterance(
+                utt_id=key, text=texts[key], n_samples=t,
+                feats_ark=(ark, off),
+            ))
+        if tokenizer is None:
+            tokenizer = CharTokenizer.from_texts([u.text for u in utts])
+        return cls(utts, tokenizer)
+
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
@@ -258,6 +300,29 @@ class BucketBatcher:
             toks = self.ds.tokenizer.encode(u.text)[: self.max_label_len]
             labels[j, : len(toks)] = toks
             ids.append(u.utt_id)
+
+        if all(u.feats_ark is not None for u in utts):
+            # precomputed-features source: (B, T_bucket, D) batches; the
+            # length buckets are frame counts for this source kind
+            mats = [u.load_feats() for u in utts]
+            dim = mats[0].shape[1]
+            feats = np.zeros((b, pad_to, dim), np.float32)
+            flens = np.zeros((b,), np.int32)
+            for j, m in enumerate(mats):
+                n = min(m.shape[0], pad_to)
+                feats[j, :n] = m[:n]
+                flens[j] = n
+            batch = {
+                "feats": feats,
+                "feat_lengths": flens,
+                "labels": labels,
+                "utt_ids": ids,
+            }
+            if self.speaker_cmvn is not None:
+                mean, inv_std = self.speaker_cmvn.lookup(ids)
+                batch["cmvn_mean"] = mean
+                batch["cmvn_inv_std"] = inv_std
+            return batch
 
         loaded = None
         if all(u.noisy_path is not None for u in utts):

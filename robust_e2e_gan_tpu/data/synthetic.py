@@ -43,6 +43,10 @@ class SyntheticConfig:
     # per-token duration jitter (fraction of tone_ms, uniform +/-) so the
     # model cannot segment by fixed position
     tone_jitter: float = 0.0
+    # words mode only: draw words from a FIXED lexicon of this many entries
+    # instead of uniformly random token strings — gives the language real
+    # sequence structure an RNNLM can exploit (None = unconstrained words)
+    lexicon_size: Optional[int] = None
 
     @property
     def space_id(self) -> int:
@@ -104,6 +108,24 @@ def _token_wave(token: int, n: int, cfg: SyntheticConfig) -> np.ndarray:
     return (np.sin(2 * np.pi * f * t) + 0.5 * np.sin(4 * np.pi * f * t)) * env
 
 
+def lexicon(cfg: SyntheticConfig) -> List[Tuple[int, ...]]:
+    """Deterministic word lexicon for ``lexicon_size`` configs (unique
+    words, derived from the config seed so train/dev/eval agree)."""
+    rng = np.random.default_rng(cfg.seed + 7777)
+    words: List[Tuple[int, ...]] = []
+    seen = set()
+    while len(words) < cfg.lexicon_size:
+        wl = int(rng.integers(cfg.min_word_len, cfg.max_word_len + 1))
+        w = tuple(
+            int(t) for t in
+            rng.integers(cfg.first_token, cfg.vocab_size, size=(wl,))
+        )
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
 def sample_transcript(
     cfg: SyntheticConfig, rng: np.random.Generator
 ) -> np.ndarray:
@@ -113,16 +135,20 @@ def sample_transcript(
         return rng.integers(
             cfg.first_token, cfg.vocab_size, size=(n_tok,)
         ).astype(np.int32)
+    lex = lexicon(cfg) if cfg.lexicon_size else None
     n_words = int(rng.integers(cfg.min_words, cfg.max_words + 1))
     out: List[int] = []
     for w in range(n_words):
         if w:
             out.append(cfg.space_id)
-        wl = int(rng.integers(cfg.min_word_len, cfg.max_word_len + 1))
-        out.extend(
-            int(t) for t in
-            rng.integers(cfg.first_token, cfg.vocab_size, size=(wl,))
-        )
+        if lex is not None:
+            out.extend(lex[int(rng.integers(len(lex)))])
+        else:
+            wl = int(rng.integers(cfg.min_word_len, cfg.max_word_len + 1))
+            out.extend(
+                int(t) for t in
+                rng.integers(cfg.first_token, cfg.vocab_size, size=(wl,))
+            )
     return np.asarray(out, np.int32)
 
 

@@ -586,6 +586,7 @@ def make_beam_searcher(
     use_enhancer: bool = True,
     lm=None,
     lm_params=None,
+    input_kind: str = "wav",
 ) -> Callable:
     """Bind a RobustE2E model into a jitted wav -> BeamResult function.
 
@@ -609,11 +610,17 @@ def make_beam_searcher(
 
     def search(params, wav, wav_lengths, cmvn_batch=None):
         variables = {"params": params}
-        hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
-            variables, wav, wav_lengths, use_enhancer,
-            cmvn_batch=cmvn_batch,
-            method=RobustE2E.encode_for_decode,
-        )
+        if input_kind == "feats":  # precomputed-features (feats.scp) source
+            hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+                variables, wav, wav_lengths, cmvn_batch=cmvn_batch,
+                method=RobustE2E.encode_for_decode_feats,
+            )
+        else:
+            hs, hmask, hlens, ctc_logits, enc_proj = model.apply(
+                variables, wav, wav_lengths, use_enhancer,
+                cmvn_batch=cmvn_batch,
+                method=RobustE2E.encode_for_decode,
+            )
 
         def step_fn(carry, toks, enc, enc_proj_, emask):
             return model.apply(

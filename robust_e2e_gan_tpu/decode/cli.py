@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--manifest", help="jsonl manifest")
     p.add_argument("--noisy-scp", help="Kaldi scp of waveforms (with --text)")
+    p.add_argument("--feats-scp",
+                   help="Kaldi feats.scp of PRECOMPUTED features (with "
+                        "--text); requires an experiment trained with "
+                        "--train-feats-scp. --length-buckets are frames.")
     p.add_argument("--text", help="Kaldi text file (with --noisy-scp)")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--which", choices=("best", "latest"), default="best")
@@ -93,6 +97,7 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         saved = json.load(f)
     jcfg = cfg_lib.from_dict(JointConfig, saved["joint"])
+    input_kind = saved.get("input_kind", "wav")
     tok_path = os.path.join(ckpt_dir, "tokenizer.json")
     tok = CharTokenizer.load(tok_path) if os.path.exists(tok_path) else None
 
@@ -115,6 +120,15 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
         k: jnp.asarray(v)
         for k, v in make_batch(2, scfg, rng, ignore_id=-1).items()
     }
+    if input_kind == "feats":
+        # feats-mode experiments hold ASR-only params; the template state
+        # must be built the same way for restore to match
+        sample = {
+            "feats": jnp.zeros((2, 16, jcfg.e2e.frontend.n_mels),
+                               jnp.float32),
+            "feat_lengths": jnp.asarray([16, 16], jnp.int32),
+            "labels": sample["labels"],
+        }
     if jcfg.e2e.frontend.cmvn == "speaker":
         # template-only stats; real per-utterance stats ride each batch
         d = jcfg.e2e.frontend.n_mels
@@ -127,7 +141,7 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
         print("no 'best' checkpoint (no dev metric); using 'latest'")
         which = "latest"
     state, step = ckpt_lib.restore_checkpoint(ckpt_dir, state, which)
-    return model, disc, state, jcfg, tok, step
+    return model, disc, state, jcfg, tok, step, input_kind
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -135,18 +149,29 @@ def main(argv: Optional[list] = None) -> None:
     from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    model, disc, state, jcfg, tok, step = load_experiment(
+    model, disc, state, jcfg, tok, step, input_kind = load_experiment(
         args.ckpt_dir, args.which
     )
     print(f"restored step {step} from {args.ckpt_dir} ({args.which})")
 
     if args.manifest:
         ds = AudioTextDataset.from_jsonl(args.manifest, tokenizer=tok)
+    elif args.feats_scp and args.text:
+        if input_kind != "feats":
+            raise SystemExit("--feats-scp needs an experiment trained "
+                             "with --train-feats-scp")
+        ds = AudioTextDataset.from_kaldi_feats(args.feats_scp, args.text,
+                                               tokenizer=tok)
     elif args.noisy_scp and args.text:
         ds = AudioTextDataset.from_kaldi(args.noisy_scp, args.text,
                                          tokenizer=tok)
     else:
-        raise SystemExit("need --manifest or --noisy-scp/--text")
+        raise SystemExit(
+            "need --manifest, --noisy-scp/--text, or --feats-scp/--text"
+        )
+    if input_kind == "feats" and not args.feats_scp:
+        raise SystemExit("this experiment was trained on precomputed "
+                         "features; decode it with --feats-scp/--text")
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
     speaker_cmvn = None
     if jcfg.e2e.frontend.cmvn == "speaker":
@@ -175,14 +200,22 @@ def main(argv: Optional[list] = None) -> None:
               f"(weight {args.lm_weight})")
     use_enh = not args.no_enhancer
     searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=use_enh,
-                                  lm=lm, lm_params=lm_params)
+                                  lm=lm, lm_params=lm_params,
+                                  input_kind=input_kind)
 
     @jax.jit
     def greedy_fn(params, wav, lens, cmvn_batch=None):
-        hs, hmask, hlens, ctc_logits, _ = model.apply(
-            {"params": params}, wav, lens, use_enh, cmvn_batch=cmvn_batch,
-            method=RobustE2E.encode_for_decode,
-        )
+        if input_kind == "feats":
+            hs, hmask, hlens, ctc_logits, _ = model.apply(
+                {"params": params}, wav, lens, cmvn_batch=cmvn_batch,
+                method=RobustE2E.encode_for_decode_feats,
+            )
+        else:
+            hs, hmask, hlens, ctc_logits, _ = model.apply(
+                {"params": params}, wav, lens, use_enh,
+                cmvn_batch=cmvn_batch,
+                method=RobustE2E.encode_for_decode,
+            )
         return ctc_greedy_decode(ctc_logits, hlens, jcfg.e2e.blank_id)
 
     if args.dump_attention:
@@ -211,8 +244,12 @@ def main(argv: Optional[list] = None) -> None:
     refs, hyps, lines, nbest_rows = [], [], [], []
     ref_texts, hyp_texts = [], []
     for batch in batcher.epoch(shuffle=False):
-        wav = jnp.asarray(batch["noisy_wav"])
-        lens = jnp.asarray(batch["wav_lengths"])
+        if input_kind == "feats":
+            wav = jnp.asarray(batch["feats"])
+            lens = jnp.asarray(batch["feat_lengths"])
+        else:
+            wav = jnp.asarray(batch["noisy_wav"])
+            lens = jnp.asarray(batch["wav_lengths"])
         cmvn_batch = (
             (jnp.asarray(batch["cmvn_mean"]),
              jnp.asarray(batch["cmvn_inv_std"]))

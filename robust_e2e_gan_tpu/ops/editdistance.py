@@ -81,8 +81,17 @@ def score_texts(
     hyp_words = [t.split() for t in hyp_texts]
     ref_chars = [list("".join(t.split())) for t in ref_texts]
     hyp_chars = [list("".join(t.split())) for t in hyp_texts]
+    wer = wer_details(ref_words, hyp_words)
+    # Kaldi/sclite-style S/D/I breakdown on the word alignment
+    subs = dels = ins = 0
+    for r, h in zip(ref_words, hyp_words):
+        s, d, i = align_stats(r, h)
+        subs += s
+        dels += d
+        ins += i
+    wer.update({"sub": float(subs), "del": float(dels), "ins": float(ins)})
     return {
-        "wer": wer_details(ref_words, hyp_words),
+        "wer": wer,
         "cer": wer_details(ref_chars, hyp_chars),
     }
 

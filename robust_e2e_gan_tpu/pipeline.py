@@ -94,8 +94,19 @@ class RobustE2E(nn.Module):
         fmask: Optional[jnp.ndarray],
         cmvn_batch: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
+        feats = fbank_ops.log_mel(power, self.cfg.e2e.frontend)
+        return self.normalize_feats(feats, fmask, cmvn_batch)
+
+    def normalize_feats(
+        self,
+        feats: jnp.ndarray,
+        fmask: Optional[jnp.ndarray],
+        cmvn_batch: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """CMVN per FrontendConfig.cmvn on (B, T, D) log-mel features —
+        shared by the on-device frontend and the precomputed-features
+        (Kaldi feats.scp) input path."""
         fcfg = self.cfg.e2e.frontend
-        feats = fbank_ops.log_mel(power, fcfg)
         if fcfg.cmvn == "utterance":
             return fbank_ops.utterance_cmvn(feats, fmask)
         if fcfg.cmvn == "global":
@@ -193,6 +204,46 @@ class RobustE2E(nn.Module):
             "frame_mask": fmask,
             "tf_mask": tf_mask,
         }
+
+    # ---------- precomputed-features path (Kaldi feats.scp) ----------
+
+    def asr_forward_feats(
+        self,
+        feats: jnp.ndarray,
+        feat_lengths: jnp.ndarray,
+        ys_pad: jnp.ndarray,
+        deterministic: bool = True,
+        cmvn_batch: Optional[Tuple] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """ASR training on PRECOMPUTED log-mel features (the reference's
+        actual input, SURVEY.md L1: Kaldi feats.scp batches). No frontend,
+        no enhancer (offline fbank discarded the linear spectrum)."""
+        t = feats.shape[1]
+        fmask = (
+            jnp.arange(t, dtype=jnp.int32)[None, :]
+            < feat_lengths[:, None]
+        ).astype(jnp.float32)
+        x = self.normalize_feats(feats, fmask, cmvn_batch)
+        return self.asr(x, feat_lengths, ys_pad,
+                        deterministic=deterministic)
+
+    def encode_for_decode_feats(
+        self,
+        feats: jnp.ndarray,
+        feat_lengths: jnp.ndarray,
+        cmvn_batch: Optional[Tuple] = None,
+    ):
+        """Decode-time encoder pass on precomputed features."""
+        t = feats.shape[1]
+        fmask = (
+            jnp.arange(t, dtype=jnp.int32)[None, :]
+            < feat_lengths[:, None]
+        ).astype(jnp.float32)
+        x = self.normalize_feats(feats, fmask, cmvn_batch)
+        hs, hmask, hlens = self.asr.encode(x, feat_lengths)
+        ctc_logits = self.asr.ctc_logits(hs)
+        enc_proj = self.asr.decoder_project_encoder(hs)
+        return hs, hmask, hlens, ctc_logits, enc_proj
 
     # ---------- decode-time entry points ----------
 

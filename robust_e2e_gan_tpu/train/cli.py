@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dev-manifest")
     p.add_argument("--train-noisy-scp", help="Kaldi scp of noisy waveforms")
     p.add_argument("--train-clean-scp")
+    p.add_argument("--train-feats-scp",
+                   help="Kaldi feats.scp of PRECOMPUTED features (with "
+                        "--train-text; --mode asr only — the enhancer needs "
+                        "waveforms). --length-buckets are then frame counts.")
     p.add_argument("--train-text")
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic learnable task")
@@ -173,6 +177,15 @@ def _corpus_factories(args):
 
     if args.train_manifest:
         train_ds = AudioTextDataset.from_jsonl(args.train_manifest)
+    elif args.train_feats_scp and args.train_text:
+        if args.mode != "asr":
+            raise SystemExit(
+                "--train-feats-scp supports --mode asr only (gan/joint "
+                "need waveforms for the enhancer)"
+            )
+        train_ds = AudioTextDataset.from_kaldi_feats(
+            args.train_feats_scp, args.train_text
+        )
     elif args.train_noisy_scp and args.train_text:
         train_ds = AudioTextDataset.from_kaldi(
             args.train_noisy_scp, args.train_text, args.train_clean_scp
@@ -180,7 +193,7 @@ def _corpus_factories(args):
     else:
         raise SystemExit(
             "need --train-manifest, --train-noisy-scp/--train-text, "
-            "or --synthetic"
+            "--train-feats-scp/--train-text, or --synthetic"
         )
     tok = train_ds.tokenizer
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
@@ -304,7 +317,8 @@ def main(argv: Optional[list] = None) -> None:
     os.makedirs(args.ckpt_dir, exist_ok=True)
     cfg_lib.save_config(
         {"joint": cfg_lib.to_dict(jcfg), "train": cfg_lib.to_dict(tcfg),
-         "mode": args.mode},
+         "mode": args.mode,
+         "input_kind": "feats" if args.train_feats_scp else "wav"},
         os.path.join(args.ckpt_dir, "config.json"),
     )
     if tok is not None:

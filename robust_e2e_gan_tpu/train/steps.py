@@ -92,28 +92,50 @@ def init_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation, optax.GradientTransformation]:
     rng = jax.random.PRNGKey(seed)
     rng, kg, kd = jax.random.split(rng, 3)
-    vars_g = model.init(
-        kg,
-        sample_batch["noisy_wav"],
-        sample_batch["clean_wav"],
-        sample_batch["wav_lengths"],
-        sample_batch["labels"],
-        cmvn_batch=_cmvn_batch(sample_batch),
-        method=RobustE2E.joint_forward,
-    )
-    params_g = vars_g["params"]
-    # D input: log-mel features of (B, T, n_mels)
-    out = model.apply(
-        {"params": params_g},
-        sample_batch["noisy_wav"],
-        sample_batch["clean_wav"],
-        sample_batch["wav_lengths"],
-        sample_batch["labels"],
-        cmvn_batch=_cmvn_batch(sample_batch),
-        method=RobustE2E.joint_forward,
-    )
-    vars_d = discriminator.init(kd, out["clean_logmel"], out["frame_mask"])
-    params_d = vars_d["params"]
+    if "feats" in sample_batch:
+        # precomputed-features source (feats.scp): ASR params only — the
+        # enhancer/GAN path needs waveforms and is unavailable by design
+        vars_g = model.init(
+            kg,
+            sample_batch["feats"],
+            sample_batch["feat_lengths"],
+            sample_batch["labels"],
+            cmvn_batch=_cmvn_batch(sample_batch),
+            method=RobustE2E.asr_forward_feats,
+        )
+        params_g = vars_g["params"]
+        t = sample_batch["feats"].shape[1]
+        fmask = (
+            jnp.arange(t, dtype=jnp.int32)[None, :]
+            < sample_batch["feat_lengths"][:, None]
+        ).astype(jnp.float32)
+        vars_d = discriminator.init(kd, sample_batch["feats"], fmask)
+        params_d = vars_d["params"]
+    else:
+        vars_g = model.init(
+            kg,
+            sample_batch["noisy_wav"],
+            sample_batch["clean_wav"],
+            sample_batch["wav_lengths"],
+            sample_batch["labels"],
+            cmvn_batch=_cmvn_batch(sample_batch),
+            method=RobustE2E.joint_forward,
+        )
+        params_g = vars_g["params"]
+        # D input: log-mel features of (B, T, n_mels)
+        out = model.apply(
+            {"params": params_g},
+            sample_batch["noisy_wav"],
+            sample_batch["clean_wav"],
+            sample_batch["wav_lengths"],
+            sample_batch["labels"],
+            cmvn_batch=_cmvn_batch(sample_batch),
+            method=RobustE2E.joint_forward,
+        )
+        vars_d = discriminator.init(
+            kd, out["clean_logmel"], out["frame_mask"]
+        )
+        params_d = vars_d["params"]
     opt_g = create_optimizer(tcfg)
     opt_d = create_optimizer(tcfg)
     state = TrainState(
@@ -147,17 +169,29 @@ def make_asr_pretrain_step(
         rngs = {"dropout": k_drop, "sampling": k_samp}
 
         def loss_fn(params):
-            out = model.apply(
-                {"params": params},
-                batch["clean_wav"],
-                batch["wav_lengths"],
-                batch["labels"],
-                use_enhancer=use_enhancer,
-                deterministic=False,
-                cmvn_batch=_cmvn_batch(batch),
-                method=RobustE2E.asr_forward,
-                rngs=rngs,
-            )
+            if "feats" in batch:  # precomputed-features source (feats.scp)
+                out = model.apply(
+                    {"params": params},
+                    batch["feats"],
+                    batch["feat_lengths"],
+                    batch["labels"],
+                    deterministic=False,
+                    cmvn_batch=_cmvn_batch(batch),
+                    method=RobustE2E.asr_forward_feats,
+                    rngs=rngs,
+                )
+            else:
+                out = model.apply(
+                    {"params": params},
+                    batch["clean_wav"],
+                    batch["wav_lengths"],
+                    batch["labels"],
+                    use_enhancer=use_enhancer,
+                    deterministic=False,
+                    cmvn_batch=_cmvn_batch(batch),
+                    method=RobustE2E.asr_forward,
+                    rngs=rngs,
+                )
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -189,6 +223,19 @@ def make_eval_step(model: RobustE2E, use_enhancer: bool = True) -> Callable:
     stack 3.1 'periodic dev eval')."""
 
     def eval_fn(params_g, batch: Dict[str, jnp.ndarray]):
+        if "feats" in batch:  # precomputed-features source (feats.scp)
+            out = model.apply(
+                {"params": params_g}, batch["feats"],
+                batch["feat_lengths"], batch["labels"],
+                cmvn_batch=_cmvn_batch(batch),
+                method=RobustE2E.asr_forward_feats,
+            )
+            return {
+                "loss": out["loss"],
+                "loss_ctc": out["loss_ctc"],
+                "loss_att": out["loss_att"],
+                "acc": out["acc"],
+            }
         wav = batch["noisy_wav"] if use_enhancer else batch["clean_wav"]
         out = model.apply(
             {"params": params_g}, wav, batch["wav_lengths"],

@@ -62,11 +62,26 @@ echo "== stage c: joint adversarial fine-tune (warm-started from a) =="
 python -m robust_e2e_gan_tpu.train.cli --mode joint \
     --ckpt-dir "$EXP/joint" --init-from "$EXP/asr" --epochs 8 "${COMMON[@]}"
 
+echo "== stage d: char RNNLM on the training transcripts =="
+python -m robust_e2e_gan_tpu.train.cli --mode lm \
+    --train-manifest "$EXP/train.jsonl" --ckpt-dir "$EXP/lm" --epochs 10 \
+    --dec-embed 32 --dec-hidden 64 --optimizer adam --lr 1e-2 \
+    --batch-size 16 --max-label-len 12 --log-every 20
+
 echo "== decode + score the held-out eval manifest =="
 python -m robust_e2e_gan_tpu.decode.cli \
     --manifest "$EXP/eval.jsonl" --ckpt-dir "$EXP/joint" \
     --out "$EXP/joint/decode" --batch-size 16 --beam-size 4 --max-steps 16 \
     --length-buckets 23040 --nbest 3
 cat "$EXP/joint/decode/wer.json"
+echo
+
+echo "== decode again with RNNLM shallow fusion =="
+python -m robust_e2e_gan_tpu.decode.cli \
+    --manifest "$EXP/eval.jsonl" --ckpt-dir "$EXP/joint" \
+    --out "$EXP/joint/decode_lm" --batch-size 16 --beam-size 4 \
+    --max-steps 16 --length-buckets 23040 \
+    --lm-dir "$EXP/lm" --lm-weight 0.3
+cat "$EXP/joint/decode_lm/wer.json"
 echo
 echo "demo complete: $EXP"

@@ -241,3 +241,59 @@ def test_speaker_cmvn_cli(manifest, tmp_path):
     with open(os.path.join(out, "wer.json")) as f:
         rep = json.load(f)
     assert rep["n_utts"] == 8 and "wer" in rep and "cer" in rep
+
+
+def test_feats_scp_train_and_decode(tmp_path):
+    """Precomputed-features path (the reference's actual input, SURVEY L1):
+    Kaldi feats.scp (one entry compressed) -> --mode asr train -> decode."""
+    from robust_e2e_gan_tpu.data import kaldi_io
+
+    rng = np.random.default_rng(5)
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    texts = []
+    with open(ark, "wb") as f, open(scp, "w") as s:
+        for i in range(8):
+            t = int(rng.integers(40, 80))
+            mat = rng.standard_normal((t, 24)).astype(np.float32)
+            if i % 2:  # mix compressed and raw entries
+                off = kaldi_io.write_compressed_mat(f, f"u{i}", mat, fmt=1)
+            else:
+                off = kaldi_io.write_mat(f, f"u{i}", mat)
+            s.write(f"u{i} {ark}:{off}\n")
+            texts.append(f"u{i} " + "ab"[i % 2] * 3)
+    (tmp_path / "text").write_text("\n".join(texts))
+
+    ckpt = str(tmp_path / "exp_feats")
+    train_cli.main([
+        "--mode", "asr",
+        "--train-feats-scp", scp, "--train-text", str(tmp_path / "text"),
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "96", "--max-label-len", "8",
+    ])
+    with open(os.path.join(ckpt, "config.json")) as f:
+        assert json.load(f)["input_kind"] == "feats"
+
+    out = str(tmp_path / "dec_feats")
+    decode_cli.main([
+        "--feats-scp", scp, "--text", str(tmp_path / "text"),
+        "--ckpt-dir", ckpt, "--out", out,
+        "--batch-size", "4", "--beam-size", "3", "--max-steps", "6",
+        "--length-buckets", "96",
+    ])
+    with open(os.path.join(out, "wer.json")) as f:
+        rep = json.load(f)
+    assert rep["n_utts"] == 8 and "wer" in rep
+
+    # greedy path too
+    out2 = str(tmp_path / "dec_feats_g")
+    decode_cli.main([
+        "--feats-scp", scp, "--text", str(tmp_path / "text"),
+        "--ckpt-dir", ckpt, "--out", out2,
+        "--batch-size", "4", "--greedy", "--length-buckets", "96",
+    ])
+    assert os.path.exists(os.path.join(out2, "wer.json"))

@@ -307,3 +307,28 @@ def test_kaldi_compressed_matrix_roundtrip(tmp_path, rng):
         f.write(f"utt1 {ark}:5\n")  # 'utt1 ' is 5 bytes
     key, m = next(kaldi_io.read_mat_scp(scp))
     assert m.shape == mat.shape
+
+
+def test_lexicon_words_task():
+    """lexicon_size constrains words to a fixed deterministic vocabulary
+    (gives the synthetic language LM-exploitable structure)."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.data.synthetic import (
+        hard_task, lexicon, sample_transcript, split_words,
+    )
+
+    cfg = dataclasses.replace(hard_task(32), lexicon_size=20)
+    lex = set(lexicon(cfg))
+    assert len(lex) == 20
+    # deterministic across config instances (train/dev/eval agree)
+    assert set(lexicon(dataclasses.replace(cfg))) == lex
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        tr = sample_transcript(cfg, rng)
+        for w in split_words([int(t) for t in tr], cfg.space_id):
+            assert w in lex
+    # unconstrained config unaffected
+    free = hard_task(32)
+    tr = sample_transcript(free, np.random.default_rng(0))
+    assert len(tr) > 0

@@ -136,3 +136,14 @@ def test_score_texts_word_and_char():
     # perfect hyp scores zero on both
     p = score_texts(["a b"], ["a b"])
     assert p["wer"]["error_rate"] == 0.0 and p["cer"]["error_rate"] == 0.0
+
+
+def test_score_texts_sdi_breakdown():
+    from robust_e2e_gan_tpu.ops.editdistance import score_texts
+
+    r = score_texts(["a b c", "x y"], ["a q c d", "x"])
+    # b->q substitution, d inserted, y deleted
+    assert r["wer"]["sub"] == 1.0
+    assert r["wer"]["ins"] == 1.0
+    assert r["wer"]["del"] == 1.0
+    assert r["wer"]["errors"] == 3.0
