@@ -303,15 +303,30 @@ class BucketBatcher:
 
         if all(u.feats_ark is not None for u in utts):
             # precomputed-features source: (B, T_bucket, D) batches; the
-            # length buckets are frame counts for this source kind
-            mats = [u.load_feats() for u in utts]
-            dim = mats[0].shape[1]
-            feats = np.zeros((b, pad_to, dim), np.float32)
-            flens = np.zeros((b,), np.int32)
-            for j, m in enumerate(mats):
-                n = min(m.shape[0], pad_to)
-                feats[j, :n] = m[:n]
-                flens[j] = n
+            # length buckets are frame counts for this source kind. Native
+            # hot path: threaded C++ ark reader incl. CM* decompression
+            # (csrc/kaldi_reader.cpp); None -> no toolchain, fall back.
+            if not hasattr(self, "_feat_dim"):
+                self._feat_dim = utts[0].load_feats().shape[1]
+            dim = self._feat_dim
+            from robust_e2e_gan_tpu.utils.native import (
+                native_load_kaldi_feats_batch,
+            )
+
+            res = native_load_kaldi_feats_batch(
+                [u.feats_ark for u in utts], pad_to, dim
+            )
+            if res is not None:
+                feats, nrows = res
+                flens = np.minimum(nrows, pad_to).astype(np.int32)
+            else:
+                mats = [u.load_feats() for u in utts]
+                feats = np.zeros((b, pad_to, dim), np.float32)
+                flens = np.zeros((b,), np.int32)
+                for j, m in enumerate(mats):
+                    n = min(m.shape[0], pad_to)
+                    feats[j, :n] = m[:n]
+                    flens[j] = n
             batch = {
                 "feats": feats,
                 "feat_lengths": flens,

@@ -28,7 +28,7 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-_SOURCES = ("editdistance.cpp", "dataloader.cpp")
+_SOURCES = ("editdistance.cpp", "dataloader.cpp", "kaldi_reader.cpp")
 _STAMP_PATH = _SO_PATH + ".srchash"
 
 
@@ -187,4 +187,36 @@ def native_load_npy_batch(
     )
     if rc != 0:
         raise IOError(f"native npy batch load failed on {paths[int(-rc - 1)]}")
+    return out, lens
+
+
+def native_load_kaldi_feats_batch(
+    entries: Sequence[Tuple[str, int]], pad_to: int, dim: int,
+    n_threads: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded C++ batch read of Kaldi feature matrices (FM/DM + all CM*
+    compressed formats) from (ark_path, offset) entries into a zero-padded
+    (N, pad_to, dim) float32 array. Returns (batch, true_row_counts) or
+    None if the native lib is unavailable; raises on unreadable blobs."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rg_load_kaldi_feats_batch_f32"):
+        return None
+    n = len(entries)
+    out = np.zeros((n, pad_to, dim), np.float32)
+    lens = np.zeros((n,), np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p, _ in entries])
+    offs = np.asarray([o for _, o in entries], np.int64)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.rg_load_kaldi_feats_batch_f32(
+        arr, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pad_to, dim,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads,
+    )
+    if rc != 0:
+        raise IOError(
+            f"native Kaldi feats batch load failed on {entries[int(-rc - 1)]}"
+        )
     return out, lens

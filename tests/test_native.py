@@ -147,3 +147,55 @@ def test_score_texts_sdi_breakdown():
     assert r["wer"]["ins"] == 1.0
     assert r["wer"]["del"] == 1.0
     assert r["wer"]["errors"] == 3.0
+
+
+def test_native_kaldi_feats_batch(tmp_path):
+    """C++ threaded Kaldi feats reader == Python kaldi_io decode for FM,
+    DM, and all three compressed formats; batch equals Python collation."""
+    import numpy as np
+
+    from robust_e2e_gan_tpu.data import kaldi_io
+    from robust_e2e_gan_tpu.utils.native import (
+        get_lib, native_load_kaldi_feats_batch,
+    )
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(0)
+    ark = str(tmp_path / "m.ark")
+    entries = []
+    mats = []
+    with open(ark, "wb") as f:
+        for i, fmt in enumerate(("fm", "cm1", "cm2", "cm3", "fm")):
+            t = 10 + 7 * i
+            m = (rng.standard_normal((t, 12)) * 3).astype(np.float32)
+            if fmt == "fm":
+                off = kaldi_io.write_mat(f, f"u{i}", m)
+            else:
+                off = kaldi_io.write_compressed_mat(
+                    f, f"u{i}", m, fmt=int(fmt[2])
+                )
+            entries.append((ark, off))
+            mats.append(m)
+
+    pad_to = 48
+    res = native_load_kaldi_feats_batch(entries, pad_to, 12)
+    assert res is not None
+    batch, lens = res
+    assert batch.shape == (5, pad_to, 12)
+    for i, m in enumerate(mats):
+        assert lens[i] == m.shape[0]
+        ref = kaldi_io.read_mat_at(*entries[i])  # Python decode (oracle)
+        n = min(ref.shape[0], pad_to)
+        np.testing.assert_allclose(batch[i, :n], ref[:n], rtol=1e-5,
+                                   atol=1e-5)
+        assert np.all(batch[i, n:] == 0.0)
+
+    # truncation path: pad_to below the longest matrix
+    res2 = native_load_kaldi_feats_batch(entries, 8, 12)
+    batch2, lens2 = res2
+    assert batch2.shape == (5, 8, 12)
+    assert lens2[1] == mats[1].shape[0]  # true rows reported, data clipped
