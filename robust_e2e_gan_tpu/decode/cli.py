@@ -223,10 +223,16 @@ def main(argv: Optional[list] = None) -> None:
 
         @jax.jit
         def attention_fn(params, wav, lens, ys_pad):
-            hs, hmask, hlens, _, _ = model.apply(
-                {"params": params}, wav, lens, use_enh,
-                method=RobustE2E.encode_for_decode,
-            )
+            if input_kind == "feats":
+                hs, hmask, hlens, _, _ = model.apply(
+                    {"params": params}, wav, lens,
+                    method=RobustE2E.encode_for_decode_feats,
+                )
+            else:
+                hs, hmask, hlens, _, _ = model.apply(
+                    {"params": params}, wav, lens, use_enh,
+                    method=RobustE2E.encode_for_decode,
+                )
             ys_in, _, _ = add_sos_eos(
                 ys_pad, jcfg.e2e.sos_id, jcfg.e2e.eos_id, jcfg.e2e.ignore_id
             )
