@@ -10,7 +10,7 @@ id. All target prep is vectorized (no host loops) so the whole forward jits.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

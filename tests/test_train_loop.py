@@ -198,3 +198,50 @@ def test_metric_logger_header_tracks_fields(tmp_path):
             current = r
             continue
         assert len(r) == len(current)
+
+
+def test_checkpoint_atomic_under_sigkill(tmp_path):
+    """Preemption safety (SURVEY section 5): SIGKILL during a checkpoint
+    write must never corrupt the restorable 'latest' state."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    d = str(tmp_path / "ck")
+    child_src = f"""
+import numpy as np, sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from robust_e2e_gan_tpu.utils import checkpoint as ckpt
+i = 0
+while True:
+    i += 1
+    # ~8 MB payload widens the write window the kill can land in
+    st = {{"w": np.full((1024, 1024), float(i), np.float32),
+          "step": np.int64(i)}}
+    ckpt.save_checkpoint({d!r}, st, i, metric=float(i), keep=2)
+"""
+    for trial in range(3):
+        p = subprocess.Popen([sys.executable, "-c", child_src])
+        # wait for the first completed save (imports take seconds), then
+        # let a few more saves race the kill
+        deadline = time.time() + 60
+        while time.time() < deadline and not ckpt.has_checkpoint(d):
+            time.sleep(0.1)
+        assert ckpt.has_checkpoint(d), "child never wrote a checkpoint"
+        time.sleep(0.3 + 0.35 * trial)
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+
+        assert ckpt.has_checkpoint(d), "no restorable checkpoint after kill"
+        template = {"w": np.zeros((1024, 1024), np.float32),
+                    "step": np.int64(0)}
+        st, step = ckpt.restore_checkpoint(d, template)
+        assert step >= 1
+        # payload must be internally consistent with its step
+        assert float(st["step"]) == float(step)
+        np.testing.assert_array_equal(
+            st["w"], np.full((1024, 1024), float(step), np.float32)
+        )
