@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="speaker-keyed CMVN stats ark (default: "
                         "<ckpt-dir>/cmvn.ark)")
     p.add_argument("--length-buckets", default="32000,64000,112000,160000")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel serving: shard each decode batch "
+                        "over this many devices (0 = single device); "
+                        "batch size must divide it")
     p.add_argument("--nbest", type=int, default=0,
                    help="also write the top-N beam hypotheses per utterance "
                         "to nbest.jsonl")
@@ -245,17 +249,32 @@ def main(argv: Optional[list] = None) -> None:
             )
             return atts, hlens
 
+    mesh = None
+    if args.mesh_data > 1:
+        from robust_e2e_gan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
+        print(f"data-parallel decode over {args.mesh_data} devices")
+
+    def to_device(arrs):
+        # ragged final batches fall back to single-device placement
+        if mesh is not None and arrs[0].shape[0] % args.mesh_data == 0:
+            from robust_e2e_gan_tpu.parallel import shard_batch
+
+            return shard_batch(dict(enumerate(arrs)), mesh).values()
+        return [jnp.asarray(a) for a in arrs]
+
     out_dir = args.out or os.path.join(args.ckpt_dir, "decode")
     os.makedirs(out_dir, exist_ok=True)
     refs, hyps, lines, nbest_rows = [], [], [], []
     ref_texts, hyp_texts = [], []
     for batch in batcher.epoch(shuffle=False):
         if input_kind == "feats":
-            wav = jnp.asarray(batch["feats"])
-            lens = jnp.asarray(batch["feat_lengths"])
+            wav, lens = to_device([batch["feats"], batch["feat_lengths"]])
         else:
-            wav = jnp.asarray(batch["noisy_wav"])
-            lens = jnp.asarray(batch["wav_lengths"])
+            wav, lens = to_device(
+                [batch["noisy_wav"], batch["wav_lengths"]]
+            )
         cmvn_batch = (
             (jnp.asarray(batch["cmvn_mean"]),
              jnp.asarray(batch["cmvn_inv_std"]))

@@ -297,3 +297,33 @@ def test_feats_scp_train_and_decode(tmp_path):
         "--batch-size", "4", "--greedy", "--length-buckets", "96",
     ])
     assert os.path.exists(os.path.join(out2, "wer.json"))
+
+
+def test_decode_cli_mesh_and_beam_flags(manifest, tmp_path):
+    """--mesh-data DP serving + --end-detect/--no-early-exit flags through
+    the CLI produce the same hypotheses as the plain single-device decode."""
+    ckpt = str(tmp_path / "exp_mesh")
+    train_cli.main([
+        "--mode", "asr",
+        "--train-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+    ])
+    def decode(out, extra):
+        decode_cli.main([
+            "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
+            "--batch-size", "4", "--beam-size", "3", "--max-steps", "6",
+            "--length-buckets", "16000", "--no-enhancer", *extra,
+        ])
+        return open(os.path.join(out, "hyp.txt")).read()
+
+    plain = decode(str(tmp_path / "d0"), [])
+    mesh = decode(str(tmp_path / "d1"), ["--mesh-data", "4"])
+    assert mesh == plain  # DP sharding is numerically transparent here
+    flags = decode(str(tmp_path / "d2"),
+                   ["--end-detect", "--no-early-exit"])
+    assert flags.count("\n") == plain.count("\n")
