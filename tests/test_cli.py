@@ -156,6 +156,21 @@ def test_nbest_and_attention_dump(manifest, tmp_path):
     assert a.ndim == 2 and np.all(a >= 0)
     np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-4)
 
+    # the .npy dumps render to PNG heatmaps (reference's attention plots)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.plot_attention import plot_dir
+
+    png_dir = str(tmp_path / "att_png")
+    n = plot_dir(os.path.join(out, "att"), png_dir, limit=2)
+    assert n == 2
+    pngs = [f for f in os.listdir(png_dir) if f.endswith(".png")]
+    assert len(pngs) == 2 and all(
+        os.path.getsize(os.path.join(png_dir, f)) > 1000 for f in pngs
+    )
+
 
 def test_lm_train_and_fusion_cli(tmp_path):
     """--mode lm trains an RNNLM on synthetic transcripts; load_lm restores
