@@ -91,10 +91,14 @@ class Utterance:
     noisy_ark: Optional[Tuple[str, int]] = None
     clean_ark: Optional[Tuple[str, int]] = None
     feats_ark: Optional[Tuple[str, int]] = None
+    clean_feats_ark: Optional[Tuple[str, int]] = None  # spec-joint pairing
 
     def load_feats(self) -> np.ndarray:
         """(T, D) precomputed feature matrix (Kaldi feats.scp source)."""
         return kaldi_io.read_mat_at(*self.feats_ark).astype(np.float32)
+
+    def load_clean_feats(self) -> np.ndarray:
+        return kaldi_io.read_mat_at(*self.clean_feats_ark).astype(np.float32)
 
     def load(self) -> Tuple[np.ndarray, np.ndarray]:
         if self.noisy_path is not None:
@@ -110,6 +114,41 @@ class Utterance:
                 if self.clean_ark else noisy
             )
         return noisy.astype(np.float32), clean.astype(np.float32)
+
+
+def _read_kv_file(path: str) -> Dict[str, str]:
+    """Kaldi `text`-style ``<key> <value...>`` map."""
+    out: Dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
+def _read_len_file(path: str) -> Dict[str, int]:
+    """``<utt> <int>`` map (utt2num_frames / utt2num_samples)."""
+    return {k: int(v) for k, v in _read_kv_file(path).items()}
+
+
+# one open handle per ark during index construction (scp files group
+# entries by ark, so probing reuses the handle instead of reopening)
+_probe_files: Dict[str, object] = {}
+
+
+def _probe_shape(ark: str, off: int) -> Tuple[int, int]:
+    f = _probe_files.get(ark)
+    if f is None:
+        f = _probe_files[ark] = open(ark, "rb")
+    f.seek(off)
+    return kaldi_io.read_shape(f)
+
+
+def _close_probes() -> None:
+    for f in _probe_files.values():
+        f.close()
+    _probe_files.clear()
 
 
 class AudioTextDataset:
@@ -158,29 +197,35 @@ class AudioTextDataset:
         text_path: str,
         clean_scp: Optional[str] = None,
         tokenizer: Optional[CharTokenizer] = None,
+        lengths_path: Optional[str] = None,
     ) -> "AudioTextDataset":
         """Kaldi-format source: scp files of waveform vectors + `text`.
 
         The reference consumed Kaldi-prepped CHiME-4 dirs (SURVEY.md L0/L1);
         here the scp entries point at float vectors (one per utterance).
+
+        Lengths come from ``lengths_path`` (a Kaldi-style ``<utt> <n>`` map
+        of sample counts, e.g. utt2num_samples) when given, else from an
+        O(header) probe of each blob — never a full matrix read, so index
+        construction is O(entries) (SURVEY.md call stack 3.5).
         """
         noisy_idx = kaldi_io.read_scp_index(noisy_scp)
         clean_idx = kaldi_io.read_scp_index(clean_scp) if clean_scp else {}
-        texts: Dict[str, str] = {}
-        with open(text_path) as f:
-            for line in f:
-                parts = line.strip().split(None, 1)
-                if len(parts) == 2:
-                    texts[parts[0]] = parts[1]
+        texts = _read_kv_file(text_path)
+        lengths = _read_len_file(lengths_path) if lengths_path else {}
         utts = []
         for key, (ark, off) in noisy_idx.items():
             if key not in texts:
                 continue
-            n = kaldi_io.read_mat_at(ark, off).size
+            n = lengths.get(key)
+            if n is None:
+                r, c = _probe_shape(ark, off)
+                n = r * c
             utts.append(Utterance(
                 utt_id=key, text=texts[key], n_samples=n,
                 noisy_ark=(ark, off), clean_ark=clean_idx.get(key),
             ))
+        _close_probes()
         if tokenizer is None:
             tokenizer = CharTokenizer.from_texts([u.text for u in utts])
         return cls(utts, tokenizer)
@@ -191,6 +236,8 @@ class AudioTextDataset:
         feats_scp: str,
         text_path: str,
         tokenizer: Optional[CharTokenizer] = None,
+        utt2num_frames: Optional[str] = None,
+        clean_scp: Optional[str] = None,
     ) -> "AudioTextDataset":
         """Kaldi PRECOMPUTED-features source: feats.scp of (T, D) matrices.
 
@@ -200,23 +247,31 @@ class AudioTextDataset:
         "feats"/"feat_lengths" instead of waveforms and train/decode
         bypass the on-device frontend (and the enhancer — enhancement
         needs the linear spectrum, which offline fbank has discarded).
+
+        Frame counts come from ``utt2num_frames`` (the standard Kaldi file)
+        when given, else from an O(header) probe — the CM* payload is never
+        decompressed at construction time.
+
+        ``clean_scp`` pairs clean feature matrices by key (the spectrogram
+        joint-adversarial path, which needs a noisy/clean pair like the
+        waveform source; SURVEY.md section 2a Dataset/Loader).
         """
         idx = kaldi_io.read_scp_index(feats_scp)
-        texts: Dict[str, str] = {}
-        with open(text_path) as f:
-            for line in f:
-                parts = line.strip().split(None, 1)
-                if len(parts) == 2:
-                    texts[parts[0]] = parts[1]
+        clean_idx = kaldi_io.read_scp_index(clean_scp) if clean_scp else {}
+        texts = _read_kv_file(text_path)
+        frames = _read_len_file(utt2num_frames) if utt2num_frames else {}
         utts = []
         for key, (ark, off) in idx.items():
             if key not in texts:
                 continue
-            t = kaldi_io.read_mat_at(ark, off).shape[0]
+            t = frames.get(key)
+            if t is None:
+                t = _probe_shape(ark, off)[0]
             utts.append(Utterance(
                 utt_id=key, text=texts[key], n_samples=t,
-                feats_ark=(ark, off),
+                feats_ark=(ark, off), clean_feats_ark=clean_idx.get(key),
             ))
+        _close_probes()
         if tokenizer is None:
             tokenizer = CharTokenizer.from_texts([u.text for u in utts])
         return cls(utts, tokenizer)
@@ -307,32 +362,39 @@ class BucketBatcher:
             # hot path: threaded C++ ark reader incl. CM* decompression
             # (csrc/kaldi_reader.cpp); None -> no toolchain, fall back.
             if not hasattr(self, "_feat_dim"):
-                self._feat_dim = utts[0].load_feats().shape[1]
+                self._feat_dim = kaldi_io.read_shape_at(
+                    *utts[0].feats_ark
+                )[1]
             dim = self._feat_dim
             from robust_e2e_gan_tpu.utils.native import (
                 native_load_kaldi_feats_batch,
             )
 
-            res = native_load_kaldi_feats_batch(
-                [u.feats_ark for u in utts], pad_to, dim
-            )
-            if res is not None:
-                feats, nrows = res
-                flens = np.minimum(nrows, pad_to).astype(np.int32)
-            else:
-                mats = [u.load_feats() for u in utts]
-                feats = np.zeros((b, pad_to, dim), np.float32)
-                flens = np.zeros((b,), np.int32)
-                for j, m in enumerate(mats):
-                    n = min(m.shape[0], pad_to)
-                    feats[j, :n] = m[:n]
-                    flens[j] = n
+            def load_batch(entries):
+                res = native_load_kaldi_feats_batch(entries, pad_to, dim)
+                if res is not None:
+                    m, nrows = res
+                    return m, np.minimum(nrows, pad_to).astype(np.int32)
+                m = np.zeros((b, pad_to, dim), np.float32)
+                ls = np.zeros((b,), np.int32)
+                for j, e in enumerate(entries):
+                    mat = kaldi_io.read_mat_at(*e).astype(np.float32)
+                    n = min(mat.shape[0], pad_to)
+                    m[j, :n] = mat[:n]
+                    ls[j] = n
+                return m, ls
+
+            feats, flens = load_batch([u.feats_ark for u in utts])
             batch = {
                 "feats": feats,
                 "feat_lengths": flens,
                 "labels": labels,
                 "utt_ids": ids,
             }
+            if all(u.clean_feats_ark is not None for u in utts):
+                batch["clean_feats"], _ = load_batch(
+                    [u.clean_feats_ark for u in utts]
+                )
             if self.speaker_cmvn is not None:
                 mean, inv_std = self.speaker_cmvn.lookup(ids)
                 batch["cmvn_mean"] = mean
@@ -398,18 +460,48 @@ class Prefetcher:
     def __init__(self, it: Iterator, depth: int = 2):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def work():
             try:
                 for item in it:
-                    self.q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self.q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on next()
                 self.err = e
             finally:
-                self.q.put(self._DONE)
+                try:
+                    self.q.put_nowait(self._DONE)
+                except queue.Full:
+                    pass
 
         self.t = threading.Thread(target=work, daemon=True)
         self.t.start()
+
+    def close(self) -> None:
+        """Release the worker without draining: consumers that abandon
+        iteration early (exceptions, early exit) call this so the thread
+        isn't left blocked on a full queue holding file handles open."""
+        self._stop.set()
+        while True:  # unblock a worker waiting on put()
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        self.t.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self

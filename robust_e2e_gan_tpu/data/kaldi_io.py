@@ -196,6 +196,39 @@ def write_compressed_mat(
     return offset
 
 
+def read_shape(f: BinaryIO) -> Tuple[int, int]:
+    """Read ONLY the (rows, cols) header of the blob at the current
+    position — no payload decode. Vectors report (n, 1). Text-format blobs
+    have no header, so they fall back to a full parse.
+
+    This keeps dataset construction O(entries), not O(corpus bytes)
+    (SURVEY.md call stack 3.5: the index build needs lengths only).
+    """
+    start = f.tell()
+    binary = f.read(2)
+    if binary != b"\x00B":
+        f.seek(start)
+        m = read_matrix(f)
+        return (m.shape[0], m.shape[1] if m.ndim == 2 else 1)
+    kind = _read_token(f)
+    if kind in ("FM", "DM"):
+        return _read_int32(f), _read_int32(f)
+    if kind in ("FV", "DV"):
+        return _read_int32(f), 1
+    if kind in ("CM", "CM2", "CM3"):
+        f.read(8)  # min, range
+        rows, cols = struct.unpack("<ii", f.read(8))
+        return rows, cols
+    raise ValueError(f"unknown Kaldi blob kind {kind!r}")
+
+
+def read_shape_at(ark_path: str, offset: int) -> Tuple[int, int]:
+    """Header-only (rows, cols) probe at an scp pointer."""
+    with open(ark_path, "rb") as f:
+        f.seek(offset)
+        return read_shape(f)
+
+
 def read_mat_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     """Iterate (key, matrix) over a binary/text ark file."""
     with open(path, "rb") as f:
@@ -207,17 +240,29 @@ def read_mat_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def read_mat_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Iterate (key, matrix) following an scp's ark:offset pointers."""
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            key, rx = line.split(None, 1)
-            ark_path, _, offset = rx.rpartition(":")
-            with open(ark_path, "rb") as a:
-                a.seek(int(offset))
-                yield key, read_matrix(a)
+    """Iterate (key, matrix) following an scp's ark:offset pointers.
+
+    Consecutive entries pointing into the same ark reuse one open handle
+    (scp files are usually grouped by ark, so this is one open per ark,
+    not one per utterance)."""
+    cur_path, cur_f = None, None
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                key, rx = line.split(None, 1)
+                ark_path, _, offset = rx.rpartition(":")
+                if ark_path != cur_path:
+                    if cur_f is not None:
+                        cur_f.close()
+                    cur_path, cur_f = ark_path, open(ark_path, "rb")
+                cur_f.seek(int(offset))
+                yield key, read_matrix(cur_f)
+    finally:
+        if cur_f is not None:
+            cur_f.close()
 
 
 def read_scp_index(path: str) -> Dict[str, Tuple[str, int]]:

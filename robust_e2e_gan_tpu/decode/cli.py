@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--text); requires an experiment trained with "
                         "--train-feats-scp. --length-buckets are frames.")
     p.add_argument("--text", help="Kaldi text file (with --noisy-scp)")
+    p.add_argument("--utt2num-frames",
+                   help="Kaldi utt2num_frames map for --feats-scp (skips "
+                        "the header probe at index build)")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--which", choices=("best", "latest"), default="best")
     p.add_argument("--out", help="output dir (default: ckpt_dir/decode)")
@@ -101,6 +104,18 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         saved = json.load(f)
     jcfg = cfg_lib.from_dict(JointConfig, saved["joint"])
+    # scan_unroll is a TRAIN-side speed knob (train CLI --scan-unroll,
+    # default 4); decode measures ~9% faster with unroll 1, and parameters
+    # are unroll-independent, so always rebuild for decode with the default.
+    import dataclasses as _dc
+
+    jcfg = _dc.replace(
+        jcfg,
+        e2e=_dc.replace(
+            jcfg.e2e, encoder=_dc.replace(jcfg.e2e.encoder, scan_unroll=0)
+        ),
+        enhancer=_dc.replace(jcfg.enhancer, scan_unroll=0),
+    )
     input_kind = saved.get("input_kind", "wav")
     tok_path = os.path.join(ckpt_dir, "tokenizer.json")
     tok = CharTokenizer.load(tok_path) if os.path.exists(tok_path) else None
@@ -113,6 +128,7 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
         )
 
         cmvn_stats = stats_to_mean_inv_std(load_cmvn_ark(cmvn_ark))
+    log_domain = bool(saved.get("spec_log_domain", False))
     model = build_model(jcfg, cmvn_stats=cmvn_stats)
     disc = Discriminator(jcfg.discriminator)
     # template state from a tiny synthetic batch, then restore
@@ -133,19 +149,32 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
             "feat_lengths": jnp.asarray([16, 16], jnp.int32),
             "labels": sample["labels"],
         }
+    elif input_kind == "spec":
+        sample = {
+            "feats": jnp.full((2, 16, jcfg.e2e.frontend.n_freqs), 0.1,
+                              jnp.float32),
+            "clean_feats": jnp.full((2, 16, jcfg.e2e.frontend.n_freqs), 0.1,
+                                    jnp.float32),
+            "feat_lengths": jnp.asarray([16, 16], jnp.int32),
+            "labels": sample["labels"],
+        }
     if jcfg.e2e.frontend.cmvn == "speaker":
         # template-only stats; real per-utterance stats ride each batch
         d = jcfg.e2e.frontend.n_mels
         sample["cmvn_mean"] = jnp.zeros((2, d), jnp.float32)
         sample["cmvn_inv_std"] = jnp.ones((2, d), jnp.float32)
     tcfg = cfg_lib.from_dict(TrainConfig, saved["train"])
-    state, _, _ = init_train_state(model, disc, tcfg, sample, seed=0)
+    state, _, _ = init_train_state(
+        model, disc, tcfg, sample, seed=0,
+        input_kind=input_kind if input_kind == "spec" else None,
+        log_domain=log_domain,
+    )
     if which == "best" and not ckpt_lib.has_checkpoint(ckpt_dir, "best"):
         # runs without a dev set never record a 'best' entry
         print("no 'best' checkpoint (no dev metric); using 'latest'")
         which = "latest"
     state, step = ckpt_lib.restore_checkpoint(ckpt_dir, state, which)
-    return model, disc, state, jcfg, tok, step, input_kind
+    return model, disc, state, jcfg, tok, step, input_kind, log_domain
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -153,19 +182,20 @@ def main(argv: Optional[list] = None) -> None:
     from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    model, disc, state, jcfg, tok, step, input_kind = load_experiment(
-        args.ckpt_dir, args.which
-    )
+    (model, disc, state, jcfg, tok, step, input_kind,
+     log_domain) = load_experiment(args.ckpt_dir, args.which)
     print(f"restored step {step} from {args.ckpt_dir} ({args.which})")
 
     if args.manifest:
         ds = AudioTextDataset.from_jsonl(args.manifest, tokenizer=tok)
     elif args.feats_scp and args.text:
-        if input_kind != "feats":
+        if input_kind not in ("feats", "spec"):
             raise SystemExit("--feats-scp needs an experiment trained "
                              "with --train-feats-scp")
-        ds = AudioTextDataset.from_kaldi_feats(args.feats_scp, args.text,
-                                               tokenizer=tok)
+        ds = AudioTextDataset.from_kaldi_feats(
+            args.feats_scp, args.text, tokenizer=tok,
+            utt2num_frames=args.utt2num_frames,
+        )
     elif args.noisy_scp and args.text:
         ds = AudioTextDataset.from_kaldi(args.noisy_scp, args.text,
                                          tokenizer=tok)
@@ -173,7 +203,7 @@ def main(argv: Optional[list] = None) -> None:
         raise SystemExit(
             "need --manifest, --noisy-scp/--text, or --feats-scp/--text"
         )
-    if input_kind == "feats" and not args.feats_scp:
+    if input_kind in ("feats", "spec") and not args.feats_scp:
         raise SystemExit("this experiment was trained on precomputed "
                          "features; decode it with --feats-scp/--text")
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
@@ -205,7 +235,8 @@ def main(argv: Optional[list] = None) -> None:
     use_enh = not args.no_enhancer
     searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=use_enh,
                                   lm=lm, lm_params=lm_params,
-                                  input_kind=input_kind)
+                                  input_kind=input_kind,
+                                  log_domain=log_domain)
 
     @jax.jit
     def greedy_fn(params, wav, lens, cmvn_batch=None):
@@ -213,6 +244,12 @@ def main(argv: Optional[list] = None) -> None:
             hs, hmask, hlens, ctc_logits, _ = model.apply(
                 {"params": params}, wav, lens, cmvn_batch=cmvn_batch,
                 method=RobustE2E.encode_for_decode_feats,
+            )
+        elif input_kind == "spec":
+            hs, hmask, hlens, ctc_logits, _ = model.apply(
+                {"params": params}, wav, lens, use_enh,
+                cmvn_batch=cmvn_batch, log_domain=log_domain,
+                method=RobustE2E.encode_for_decode_spec,
             )
         else:
             hs, hmask, hlens, ctc_logits, _ = model.apply(
@@ -226,15 +263,22 @@ def main(argv: Optional[list] = None) -> None:
         from robust_e2e_gan_tpu.models.e2e import add_sos_eos
 
         @jax.jit
-        def attention_fn(params, wav, lens, ys_pad):
+        def attention_fn(params, wav, lens, ys_pad, cmvn_batch=None):
             if input_kind == "feats":
                 hs, hmask, hlens, _, _ = model.apply(
-                    {"params": params}, wav, lens,
+                    {"params": params}, wav, lens, cmvn_batch=cmvn_batch,
                     method=RobustE2E.encode_for_decode_feats,
+                )
+            elif input_kind == "spec":
+                hs, hmask, hlens, _, _ = model.apply(
+                    {"params": params}, wav, lens, use_enh,
+                    cmvn_batch=cmvn_batch, log_domain=log_domain,
+                    method=RobustE2E.encode_for_decode_spec,
                 )
             else:
                 hs, hmask, hlens, _, _ = model.apply(
                     {"params": params}, wav, lens, use_enh,
+                    cmvn_batch=cmvn_batch,
                     method=RobustE2E.encode_for_decode,
                 )
             ys_in, _, _ = add_sos_eos(
@@ -269,7 +313,7 @@ def main(argv: Optional[list] = None) -> None:
     refs, hyps, lines, nbest_rows = [], [], [], []
     ref_texts, hyp_texts = [], []
     for batch in batcher.epoch(shuffle=False):
-        if input_kind == "feats":
+        if input_kind in ("feats", "spec"):
             wav, lens = to_device([batch["feats"], batch["feat_lengths"]])
         else:
             wav, lens = to_device(
@@ -308,7 +352,8 @@ def main(argv: Optional[list] = None) -> None:
                     nbest_rows.append({"utt_id": uid, "nbest": entries})
         if args.dump_attention:
             atts, hlens = attention_fn(
-                state.params_g, wav, lens, jnp.asarray(batch["labels"])
+                state.params_g, wav, lens, jnp.asarray(batch["labels"]),
+                cmvn_batch,
             )
             atts = np.asarray(atts)
             os.makedirs(os.path.join(out_dir, "att"), exist_ok=True)

@@ -57,9 +57,21 @@ class DecoderStep(nn.Module):
             name="embed",
         )(jnp.maximum(tok_t, 0))
 
-        ctx, att = make_attention(self.acfg, dtype=self.dtype, name="att")(
-            enc, enc_proj, enc_mask, h_prev[-1], att_prev
-        )
+        n, b = tok_t.shape[0], enc.shape[0]
+        att_mod = make_attention(self.acfg, dtype=self.dtype, name="att")
+        if n != b:
+            # beam search: N = B*K hypothesis lanes share B encoder rows —
+            # attention broadcasts over the beam axis instead of reading a
+            # K-fold repeated enc/enc_proj from HBM each step
+            k = n // b
+            ctx, att = att_mod(
+                enc, enc_proj, enc_mask,
+                h_prev[-1].reshape(b, k, -1), att_prev.reshape(b, k, -1),
+            )
+            ctx = ctx.reshape(n, -1)
+            att = att.reshape(n, -1)
+        else:
+            ctx, att = att_mod(enc, enc_proj, enc_mask, h_prev[-1], att_prev)
         x = jnp.concatenate([emb_t, ctx], axis=-1)
         hs, cs = [], []
         inp = x

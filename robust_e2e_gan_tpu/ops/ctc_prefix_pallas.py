@@ -135,8 +135,10 @@ def prefix_scores_psi_pallas(
         x = jnp.pad(x, ((0, 0), (0, kp - k), (0, 0)), constant_values=fill)
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t)))
 
+    # (b, k, t): rows() pads the beam axis to kp, so st stays exactly
+    # (B, 3Kp, T_pad) and matches the BlockSpec for every beam size
     blank_rows = jnp.broadcast_to(
-        lpz[:, None, :, blank], (b, kp, t)
+        lpz[:, None, :, blank], (b, k, t)
     )
     st = jnp.concatenate(
         [rows(r_b, 0.0), rows(r_n, LOG_ZERO), rows(blank_rows, 0.0)], axis=1

@@ -120,13 +120,25 @@ def partition_rule(
 
 def shard_params(tree: Any, mesh: Mesh, min_shard_dim: int = 512) -> Any:
     """Place a parameter-shaped pytree (params or optimizer state) onto the
-    mesh using ``partition_rule`` leaf-by-leaf. Scalars replicate."""
+    mesh using ``partition_rule`` leaf-by-leaf. Scalars replicate.
+
+    Multi-process: each process holds the same host copy (deterministic
+    same-seed init) and ``jax.device_put`` cannot address remote devices, so
+    the global array is assembled shard-by-shard from the host copy via
+    ``make_array_from_callback`` (exercised in tests/test_multihost.py).
+    """
     n_model = mesh.shape[MODEL_AXIS]
+    multi = jax.process_count() > 1
 
     def put(x):
-        x = jnp.asarray(x)
-        spec = partition_rule(x.shape, n_model, min_shard_dim)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = partition_rule(jnp.shape(x), n_model, min_shard_dim)
+        sh = NamedSharding(mesh, spec)
+        if multi:
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx]
+            )
+        return jax.device_put(jnp.asarray(x), sh)
 
     return jax.tree_util.tree_map(put, tree)
 

@@ -56,6 +56,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "--train-text; --mode asr only — the enhancer needs "
                         "waveforms). --length-buckets are then frame counts.")
     p.add_argument("--train-text")
+    p.add_argument("--utt2num-frames",
+                   help="Kaldi utt2num_frames map; skips even the header "
+                        "probe when building the feats.scp index")
+    p.add_argument("--feats-kind",
+                   choices=("mel", "spectrogram", "log-spectrogram"),
+                   default="mel",
+                   help="what --train-feats-scp contains: 'mel' = offline "
+                        "log-mel (ASR-only, no enhancer), 'spectrogram' = "
+                        "linear power spectra at n_fft//2+1 dims, "
+                        "'log-spectrogram' = Kaldi compute-spectrogram-"
+                        "feats log power. Spectrogram kinds route through "
+                        "the enhancer, so --mode gan/joint work on "
+                        "precomputed inputs (with --train-clean-feats-scp)")
+    p.add_argument("--train-clean-feats-scp",
+                   help="clean spectrogram feats paired by utt key "
+                        "(required for --mode gan/joint with a "
+                        "spectrogram --feats-kind)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic learnable task")
     p.add_argument("--synthetic-utts", type=int, default=512)
@@ -178,13 +195,23 @@ def _corpus_factories(args):
     if args.train_manifest:
         train_ds = AudioTextDataset.from_jsonl(args.train_manifest)
     elif args.train_feats_scp and args.train_text:
-        if args.mode != "asr":
+        spec = args.feats_kind != "mel"
+        if args.mode != "asr" and not spec:
             raise SystemExit(
-                "--train-feats-scp supports --mode asr only (gan/joint "
-                "need waveforms for the enhancer)"
+                "--train-feats-scp with --feats-kind mel supports --mode "
+                "asr only (offline log-mel discarded the linear spectrum "
+                "the enhancer needs); use --feats-kind spectrogram for "
+                "gan/joint on precomputed inputs"
+            )
+        if args.mode in ("gan", "joint") and not args.train_clean_feats_scp:
+            raise SystemExit(
+                "--mode gan/joint on spectrogram feats needs paired clean "
+                "spectra: --train-clean-feats-scp"
             )
         train_ds = AudioTextDataset.from_kaldi_feats(
-            args.train_feats_scp, args.train_text
+            args.train_feats_scp, args.train_text,
+            utt2num_frames=args.utt2num_frames,
+            clean_scp=args.train_clean_feats_scp,
         )
     elif args.train_noisy_scp and args.train_text:
         train_ds = AudioTextDataset.from_kaldi(
@@ -300,6 +327,12 @@ def _lm_main(args) -> None:
              resume=not args.no_resume)
 
 
+def _input_kind(args) -> str:
+    if not args.train_feats_scp:
+        return "wav"
+    return "feats" if args.feats_kind == "mel" else "spec"
+
+
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
     from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
@@ -318,7 +351,8 @@ def main(argv: Optional[list] = None) -> None:
     cfg_lib.save_config(
         {"joint": cfg_lib.to_dict(jcfg), "train": cfg_lib.to_dict(tcfg),
          "mode": args.mode,
-         "input_kind": "feats" if args.train_feats_scp else "wav"},
+         "input_kind": _input_kind(args),
+         "spec_log_domain": args.feats_kind == "log-spectrogram"},
         os.path.join(args.ckpt_dir, "config.json"),
     )
     if tok is not None:
@@ -354,6 +388,8 @@ def main(argv: Optional[list] = None) -> None:
         jcfg, tcfg, train_b, dev_batches=dev_b, mode=args.mode, mesh=mesh,
         log_dir=args.ckpt_dir, resume=not args.no_resume,
         init_from=args.init_from, cmvn_stats=cmvn_stats,
+        input_kind=_input_kind(args),
+        log_domain=args.feats_kind == "log-spectrogram",
     )
 
 

@@ -57,6 +57,8 @@ def train(
     prefetch_depth: int = 2,
     cmvn_stats=None,
     save_every_steps: int = 0,
+    input_kind: str = None,
+    log_domain: bool = False,
 ):
     """Run ``tcfg.num_epochs`` of the selected regime; returns final state.
 
@@ -78,8 +80,11 @@ def train(
 
     first = next(iter(train_batches()))
     sample = _device_batch(first, None)
+    if input_kind is None:
+        input_kind = "feats" if "feats" in sample else "wav"
     state, opt_g, opt_d = steps_lib.init_train_state(
-        model, disc, tcfg, sample, seed=tcfg.seed
+        model, disc, tcfg, sample, seed=tcfg.seed,
+        input_kind=input_kind, log_domain=log_domain,
     )
 
     start_epoch = 0
@@ -109,13 +114,18 @@ def train(
 
     if mode == "asr":
         step_fn = steps_lib.make_asr_pretrain_step(
-            model, opt_g, use_enhancer=False
+            model, opt_g, use_enhancer=False,
+            input_kind=input_kind, log_domain=log_domain,
         )
     else:
         step_fn = steps_lib.make_joint_train_step(
-            model, disc, jcfg, opt_g, opt_d, with_asr=(mode == "joint")
+            model, disc, jcfg, opt_g, opt_d, with_asr=(mode == "joint"),
+            input_kind=input_kind, log_domain=log_domain,
         )
-    eval_fn = steps_lib.make_eval_step(model, use_enhancer=(mode != "asr"))
+    eval_fn = steps_lib.make_eval_step(
+        model, use_enhancer=(mode != "asr"),
+        input_kind=input_kind, log_domain=log_domain,
+    )
 
     logger = MetricLogger(log_dir, name=mode)
     timer = StepTimer()

@@ -89,10 +89,44 @@ def init_train_state(
     tcfg: TrainConfig,
     sample_batch: Dict[str, jnp.ndarray],
     seed: int = 0,
+    input_kind: str = None,
+    log_domain: bool = False,
 ) -> Tuple[TrainState, optax.GradientTransformation, optax.GradientTransformation]:
+    """``input_kind``: "wav" (waveforms, on-device frontend), "feats"
+    (precomputed log-mel, ASR-only), or "spec" (precomputed linear/log
+    power spectra routed through the enhancer — the joint objective on
+    precomputed inputs). None infers wav/feats from the batch keys."""
+    if input_kind is None:
+        input_kind = "feats" if "feats" in sample_batch else "wav"
     rng = jax.random.PRNGKey(seed)
     rng, kg, kd = jax.random.split(rng, 3)
-    if "feats" in sample_batch:
+    if input_kind == "spec":
+        vars_g = model.init(
+            kg,
+            sample_batch["feats"],
+            sample_batch.get("clean_feats", sample_batch["feats"]),
+            sample_batch["feat_lengths"],
+            sample_batch["labels"],
+            cmvn_batch=_cmvn_batch(sample_batch),
+            log_domain=log_domain,
+            method=RobustE2E.joint_forward_spec,
+        )
+        params_g = vars_g["params"]
+        out = model.apply(
+            {"params": params_g},
+            sample_batch["feats"],
+            sample_batch.get("clean_feats", sample_batch["feats"]),
+            sample_batch["feat_lengths"],
+            sample_batch["labels"],
+            cmvn_batch=_cmvn_batch(sample_batch),
+            log_domain=log_domain,
+            method=RobustE2E.joint_forward_spec,
+        )
+        vars_d = discriminator.init(
+            kd, out["clean_logmel"], out["frame_mask"]
+        )
+        params_d = vars_d["params"]
+    elif input_kind == "feats":
         # precomputed-features source (feats.scp): ASR params only — the
         # enhancer/GAN path needs waveforms and is unavailable by design
         vars_g = model.init(
@@ -161,6 +195,8 @@ def make_asr_pretrain_step(
     model: RobustE2E,
     opt_g: optax.GradientTransformation,
     use_enhancer: bool = False,
+    input_kind: str = "wav",
+    log_domain: bool = False,
 ) -> Callable:
     """Clean-ASR pretraining step (SURVEY.md train script (a))."""
 
@@ -169,7 +205,20 @@ def make_asr_pretrain_step(
         rngs = {"dropout": k_drop, "sampling": k_samp}
 
         def loss_fn(params):
-            if "feats" in batch:  # precomputed-features source (feats.scp)
+            if input_kind == "spec":  # precomputed spectrogram feats
+                out = model.apply(
+                    {"params": params},
+                    batch["feats"],
+                    batch["feat_lengths"],
+                    batch["labels"],
+                    use_enhancer=use_enhancer,
+                    deterministic=False,
+                    cmvn_batch=_cmvn_batch(batch),
+                    log_domain=log_domain,
+                    method=RobustE2E.asr_forward_spec,
+                    rngs=rngs,
+                )
+            elif "feats" in batch:  # precomputed-features source (feats.scp)
                 out = model.apply(
                     {"params": params},
                     batch["feats"],
@@ -215,7 +264,8 @@ def make_asr_pretrain_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(model: RobustE2E, use_enhancer: bool = True) -> Callable:
+def make_eval_step(model: RobustE2E, use_enhancer: bool = True,
+                   input_kind: str = "wav", log_domain: bool = False) -> Callable:
     """Jitted dev-eval forward: ASR losses/accuracy, no parameter update.
 
     In joint mode the dev signal is the enhanced-noisy path (the quantity
@@ -223,6 +273,21 @@ def make_eval_step(model: RobustE2E, use_enhancer: bool = True) -> Callable:
     stack 3.1 'periodic dev eval')."""
 
     def eval_fn(params_g, batch: Dict[str, jnp.ndarray]):
+        if input_kind == "spec":
+            out = model.apply(
+                {"params": params_g}, batch["feats"],
+                batch["feat_lengths"], batch["labels"],
+                use_enhancer=use_enhancer,
+                cmvn_batch=_cmvn_batch(batch),
+                log_domain=log_domain,
+                method=RobustE2E.asr_forward_spec,
+            )
+            return {
+                "loss": out["loss"],
+                "loss_ctc": out["loss_ctc"],
+                "loss_att": out["loss_att"],
+                "acc": out["acc"],
+            }
         if "feats" in batch:  # precomputed-features source (feats.scp)
             out = model.apply(
                 {"params": params_g}, batch["feats"],
@@ -263,18 +328,37 @@ def _gan_terms(
     with_asr: bool,
     deterministic: bool = True,
     rngs=None,
+    input_kind: str = "wav",
+    log_domain: bool = False,
 ):
-    out = model.apply(
-        {"params": params_g},
-        batch["noisy_wav"],
-        batch["clean_wav"],
-        batch["wav_lengths"],
-        batch["labels"],
-        deterministic=deterministic,
-        cmvn_batch=_cmvn_batch(batch),
-        method=RobustE2E.joint_forward,
-        rngs=rngs,
-    )
+    if input_kind == "spec":
+        # precomputed spectrogram feats through the enhancer (the joint
+        # objective on the reference's primary input kind; pipeline
+        # joint_forward_spec)
+        out = model.apply(
+            {"params": params_g},
+            batch["feats"],
+            batch["clean_feats"],
+            batch["feat_lengths"],
+            batch["labels"],
+            deterministic=deterministic,
+            cmvn_batch=_cmvn_batch(batch),
+            log_domain=log_domain,
+            method=RobustE2E.joint_forward_spec,
+            rngs=rngs,
+        )
+    else:
+        out = model.apply(
+            {"params": params_g},
+            batch["noisy_wav"],
+            batch["clean_wav"],
+            batch["wav_lengths"],
+            batch["labels"],
+            deterministic=deterministic,
+            cmvn_batch=_cmvn_batch(batch),
+            method=RobustE2E.joint_forward,
+            rngs=rngs,
+        )
     d_fake = discriminator.apply(
         {"params": params_d}, out["enhanced_logmel"], out["frame_mask"]
     )
@@ -302,10 +386,14 @@ def make_joint_train_step(
     opt_g: optax.GradientTransformation,
     opt_d: optax.GradientTransformation,
     with_asr: bool = True,
+    input_kind: str = "wav",
+    log_domain: bool = False,
 ) -> Callable:
     """One alternating adversarial update: D-step then G-step, one XLA
     program (SURVEY.md call stack 3.1). with_asr=False gives the
-    enhancement-GAN pretraining regime (train script (b))."""
+    enhancement-GAN pretraining regime (train script (b)).
+    input_kind="spec" runs the same objective on precomputed spectrogram
+    feats (batch keys feats/clean_feats/feat_lengths)."""
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng_next, k_drop, k_samp = jax.random.split(state.rng, 3)
@@ -316,7 +404,8 @@ def make_joint_train_step(
         def d_loss_fn(params_d):
             _, loss_d, _, _, _ = _gan_terms(
                 model, discriminator, jcfg, state.params_g, params_d,
-                batch, with_asr=False,
+                batch, with_asr=False, input_kind=input_kind,
+                log_domain=log_domain,
             )
             return loss_d
 
@@ -329,6 +418,7 @@ def make_joint_train_step(
             loss_g, _, out, loss_g_adv, loss_enh = _gan_terms(
                 model, discriminator, jcfg, params_g, new_params_d,
                 batch, with_asr=with_asr, deterministic=False, rngs=rngs,
+                input_kind=input_kind, log_domain=log_domain,
             )
             return loss_g, (out, loss_g_adv, loss_enh)
 

@@ -27,7 +27,23 @@ from flax import serialization
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(np.asarray, tree)
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-process run: np.asarray would raise on a global array.
+            # Replicated leaves (params/opt state under pure DP) read their
+            # local copy; genuinely sharded leaves are all-gathered.
+            if x.sharding.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(pull, tree)
+
+
+# most recent save-history entries retained in checkpoints.json
+_HISTORY_CAP = 200
 
 
 def save_checkpoint(
@@ -76,9 +92,14 @@ def save_checkpoint(
                 "metric": float(metric),
                 "path": os.path.basename(path),
             }
-    meta.setdefault("history", []).append(
+    hist = meta.setdefault("history", [])
+    hist.append(
         {"step": step, "metric": None if metric is None else float(metric)}
     )
+    # bound the sidecar: with save_every_steps a long run would otherwise
+    # append one entry per save forever
+    if len(hist) > _HISTORY_CAP:
+        del hist[: len(hist) - _HISTORY_CAP]
     _write_meta(ckpt_dir, meta)
     _prune(ckpt_dir, meta, keep)
     return path

@@ -106,6 +106,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ]
+        if hasattr(lib, "rg_load_kaldi_feats_batch_f32"):
+            lib.rg_load_kaldi_feats_batch_f32.restype = ctypes.c_int64
+            lib.rg_load_kaldi_feats_batch_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ]
         _lib = lib
         return _lib
 
