@@ -177,15 +177,21 @@ class BeamSearchConfig:
     length_normalize: bool = False  # normalize final scores by length
     # CTC prefix recursion implementation, v5e-measured on the benchmark
     # decode (B=128, beam 8, ~7 s utterances, full 48-step scan):
-    #   "twopass"  79 ms/batch — psi-only recursion + selected-token state
-    #              recompute (no (T,B,K,V) stacked outputs); DEFAULT.
-    #   "scan"    146 ms/batch — round-1 full recursion with stacked outputs.
-    #   "pallas"  556 ms/batch — VMEM-resident kernel, exact vs scan, but
-    #              its per-utterance grid serializes B x T (future work:
-    #              batch-tiled variant with HBM-streamed lpz).
+    #   "auto"     DEFAULT: "tiled" on TPU, "twopass" elsewhere.
+    #   "tiled"   69.5 ms/batch — round-3 batch-tiled Pallas kernels
+    #              (ops/ctc_prefix_tiled.py): ALL (B,K) lanes advance per
+    #              frame with carries VMEM-resident and lpz streamed by
+    #              double-buffered DMA; bit-exact vs "twopass" on-chip.
+    #   "twopass"  78 ms/batch — psi-only XLA recursion + selected-token
+    #              state recompute (no (T,B,K,V) stacked outputs); the
+    #              XLA scan round-trips its (B,K,V) carries through HBM
+    #              every frame, which the tiled kernel eliminates.
+    #   "scan"    146 ms/batch — round-1 full recursion, stacked outputs.
+    #   "pallas"  556 ms/batch — round-2 kernel, exact vs scan, but its
+    #              per-utterance grid serializes B x T.
     #   "parallel" ~100x slower — cumlogsumexp lowers poorly on XLA:TPU.
-    # All four are equivalence-tested (tests/test_beam.py).
-    prefix_impl: str = "twopass"
+    # All five are equivalence-tested (tests/test_beam.py).
+    prefix_impl: str = "auto"
     # Early exit: run the decode loop as a lax.while_loop that stops once
     # every hypothesis in the batch has emitted eos (or end-detect fires),
     # instead of always scanning max_steps. Token-exact with the scan path
@@ -201,6 +207,10 @@ class BeamSearchConfig:
     end_detect_margin: float = 10.0
     # RNNLM shallow fusion: score += lm_weight * log p_LM(token). 0 = off.
     lm_weight: float = 0.0
+    # Unroll factor for the decode-step scan (early_exit=False path only;
+    # while_loop cannot unroll). Lets XLA software-pipeline several decode
+    # steps per loop iteration at the cost of a bigger compiled body.
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

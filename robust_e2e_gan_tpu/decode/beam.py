@@ -330,6 +330,13 @@ def beam_search_from_encoder(
     l = bcfg.max_steps
     blank, eos = ecfg.blank_id, ecfg.eos_id
     cw = bcfg.ctc_weight
+    if bcfg.prefix_impl == "auto":
+        # tiled Pallas kernels on real TPU; XLA twopass elsewhere (the
+        # kernels run there too, but interpreted — correct, not fast)
+        impl = "tiled" if jax.default_backend() == "tpu" else "twopass"
+        import dataclasses
+
+        bcfg = dataclasses.replace(bcfg, prefix_impl=impl)
 
     # --- masked CTC log-probs with the blank-padding trick.
     lpz = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
@@ -408,7 +415,7 @@ def beam_search_from_encoder(
             new_lm_carry = lm_carry
 
         # --- batched CTC prefix recursion over frames.
-        if bcfg.prefix_impl in ("twopass", "pallas"):
+        if bcfg.prefix_impl in ("twopass", "pallas", "tiled"):
             # psi-only pass; the chosen extension's forward state is
             # recomputed after pruning (V x less memory traffic)
             if bcfg.prefix_impl == "pallas":
@@ -417,6 +424,14 @@ def beam_search_from_encoder(
                 )
 
                 psi = prefix_scores_psi_pallas(
+                    lpz, last_tok, lengths, r_n, r_b, blank, eos
+                )
+            elif bcfg.prefix_impl == "tiled":
+                from robust_e2e_gan_tpu.ops.ctc_prefix_tiled import (
+                    prefix_psi_tiled,
+                )
+
+                psi = prefix_psi_tiled(
                     lpz, last_tok, lengths, r_n, r_b, blank, eos
                 )
             else:
@@ -494,14 +509,23 @@ def beam_search_from_encoder(
             ended_best = jnp.maximum(ended_best, ended_now)
 
         # CTC forward state of the selected extensions.
-        if bcfg.prefix_impl in ("twopass", "pallas"):
+        if bcfg.prefix_impl in ("twopass", "pallas", "tiled"):
             last_par = _gather_beam(last_tok, k_idx)
             len_par = lengths - append.astype(jnp.int32)
             rn_par = _gather_beam(r_n, k_idx)
             rb_par = _gather_beam(r_b, k_idx)
-            rn_sel, rb_sel = prefix_state_for_token(
-                lpz, tok, last_par, len_par, rn_par, rb_par, blank
-            )
+            if bcfg.prefix_impl == "tiled":
+                from robust_e2e_gan_tpu.ops.ctc_prefix_tiled import (
+                    prefix_state_tiled,
+                )
+
+                rn_sel, rb_sel = prefix_state_tiled(
+                    lpz, tok, last_par, len_par, rn_par, rb_par, blank
+                )
+            else:
+                rn_sel, rb_sel = prefix_state_for_token(
+                    lpz, tok, last_par, len_par, rn_par, rb_par, blank
+                )
             r_n = jnp.where(append[..., None], rn_sel, rn_par)
             r_b = jnp.where(append[..., None], rb_sel, rb_par)
         else:
@@ -562,7 +586,8 @@ def beam_search_from_encoder(
         )
     else:
         carry, _ = jax.lax.scan(
-            decode_step, carry0, jnp.arange(l, dtype=jnp.int32)
+            decode_step, carry0, jnp.arange(l, dtype=jnp.int32),
+            unroll=max(bcfg.scan_unroll, 1),
         )
     scores, tokens, lengths = carry[0], carry[1], carry[2]
 

@@ -257,12 +257,12 @@ def test_beam_parallel_impl_same_result():
         use_enhancer=True, method=RobustE2E.asr_forward,
     )["params"]
     res = {}
-    for impl in ("scan", "parallel", "twopass", "pallas"):
+    for impl in ("scan", "parallel", "twopass", "pallas", "tiled"):
         bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.4, max_steps=8,
                                 prefix_impl=impl)
         searcher = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
         res[impl] = searcher(params, wav, lens)
-    for impl in ("parallel", "twopass", "pallas"):
+    for impl in ("parallel", "twopass", "pallas", "tiled"):
         np.testing.assert_array_equal(
             np.asarray(res["scan"].tokens), np.asarray(res[impl].tokens)
         )
@@ -517,6 +517,9 @@ def test_psi_only_and_state_recompute_match_full_scan(rng):
     from robust_e2e_gan_tpu.ops.ctc_prefix_pallas import (
         prefix_scores_psi_pallas,
     )
+    from robust_e2e_gan_tpu.ops.ctc_prefix_tiled import (
+        prefix_psi_tiled, prefix_state_tiled,
+    )
 
     b, k, t, v = 2, 3, 14, 7
     logits = rng.standard_normal((b, t, v)).astype(np.float32)
@@ -544,9 +547,12 @@ def test_psi_only_and_state_recompute_match_full_scan(rng):
     psi_full, rn_all, rb_all = batched_prefix_scores(*args)
     psi_2p = batched_prefix_psi(*args)
     psi_pl = prefix_scores_psi_pallas(*args)
+    psi_tl = prefix_psi_tiled(*args)
     np.testing.assert_allclose(np.asarray(psi_2p), np.asarray(psi_full),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(psi_pl), np.asarray(psi_full),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(psi_tl), np.asarray(psi_full),
                                rtol=1e-4, atol=1e-4)
 
     # state recompute for a chosen token per beam == the gathered slice of
@@ -556,6 +562,14 @@ def test_psi_only_and_state_recompute_match_full_scan(rng):
         jnp.asarray(lpz), jnp.asarray(tok), jnp.asarray(last),
         jnp.asarray(lens), jnp.asarray(r_n), jnp.asarray(r_b), BLANK,
     )
+    rn_tl, rb_tl = prefix_state_tiled(
+        jnp.asarray(lpz), jnp.asarray(tok), jnp.asarray(last),
+        jnp.asarray(lens), jnp.asarray(r_n), jnp.asarray(r_b), BLANK,
+    )
+    np.testing.assert_allclose(np.asarray(rn_tl), np.asarray(rn_sel),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_tl), np.asarray(rb_sel),
+                               rtol=1e-5, atol=1e-5)
     rn_bk = np.moveaxis(np.asarray(rn_all), 0, 2)  # (B, K, T, V)
     rb_bk = np.moveaxis(np.asarray(rb_all), 0, 2)
     for bi in range(b):
