@@ -22,6 +22,27 @@ from robust_e2e_gan_tpu.config import AttentionConfig
 _MASK_MIN = -1e9
 
 
+def _gvec_score(mod: nn.Module, pre: jnp.ndarray) -> jnp.ndarray:
+    """g . tanh(pre) as an elementwise multiply + lane reduction.
+
+    Expressing the final projection as a Dense MATMUL forces XLA to
+    materialize tanh(pre) — a (B[, K], T, A) tensor written and re-read
+    through HBM every decode step (measured ~0.2 ms/step of the beam
+    loop's decoder chain, results/beam_parts.json). As an elementwise
+    mul + reduce it fuses with the add/tanh into one pass over the
+    location projection. The Dense submodule is still instantiated (on an
+    identity matrix, which returns exactly its kernel) so the parameter
+    tree stays byte-compatible with checkpoints: att/gvec/kernel.
+    """
+    a = pre.shape[-1]
+    g = nn.Dense(1, use_bias=False, dtype=mod.dtype, name="gvec")(
+        jnp.eye(a, dtype=mod.dtype)
+    )[:, 0]
+    return jnp.sum(
+        jnp.tanh(pre).astype(jnp.float32) * g.astype(jnp.float32), axis=-1
+    )
+
+
 class AttLoc(nn.Module):
     """One attention step.
 
@@ -76,9 +97,7 @@ class AttLoc(nn.Module):
             pre = enc_proj[:, None] + loc + dec[:, :, None, :]
         else:
             pre = enc_proj + loc + dec[:, None, :]
-        e = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(
-            jnp.tanh(pre)
-        )[..., 0]
+        e = _gvec_score(self, pre)
         e = self.cfg.sharpening * e
         m = mask[:, None, :] if beam else mask
         e = jnp.where(m > 0, e, _MASK_MIN)
@@ -89,7 +108,9 @@ class AttLoc(nn.Module):
             "bkt,bte->bke" if beam else "bt,bte->be",
             att, enc, preferred_element_type=jnp.float32,
         ).astype(enc.dtype)
-        return ctx, att
+        # context uses the f32 alignment; the returned alignment matches the
+        # carry dtype (scan carries must be dtype-stable across steps)
+        return ctx, att.astype(att_prev.dtype)
 
 
 class AttAdd(nn.Module):
@@ -110,9 +131,7 @@ class AttAdd(nn.Module):
             enc_proj[:, None] + dec[:, :, None, :]
             if beam else enc_proj + dec[:, None, :]
         )
-        e = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(
-            jnp.tanh(pre)
-        )[..., 0]
+        e = _gvec_score(self, pre)
         e = self.cfg.sharpening * e
         m = mask[:, None, :] if beam else mask
         e = jnp.where(m > 0, e, _MASK_MIN)
@@ -123,7 +142,9 @@ class AttAdd(nn.Module):
             "bkt,bte->bke" if beam else "bt,bte->be",
             att, enc, preferred_element_type=jnp.float32,
         ).astype(enc.dtype)
-        return ctx, att
+        # context uses the f32 alignment; the returned alignment matches the
+        # carry dtype (scan carries must be dtype-stable across steps)
+        return ctx, att.astype(att_prev.dtype)
 
 
 class AttDot(nn.Module):
@@ -153,7 +174,9 @@ class AttDot(nn.Module):
             "bkt,bte->bke" if beam else "bt,bte->be",
             att, enc, preferred_element_type=jnp.float32,
         ).astype(enc.dtype)
-        return ctx, att
+        # context uses the f32 alignment; the returned alignment matches the
+        # carry dtype (scan carries must be dtype-stable across steps)
+        return ctx, att.astype(att_prev.dtype)
 
 
 ATTENTION_VARIANTS = {"location": AttLoc, "add": AttAdd, "dot": AttDot}

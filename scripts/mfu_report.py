@@ -206,16 +206,20 @@ def decode_report():
     cost = _cost(searcher, params, wav, lens)
     sec = _timed(lambda: searcher(params, wav, lens).lengths)
 
-    # --- stage breakdown as separate jitted subprograms ---
+    # --- stage breakdown as separate jitted subprograms. Each returns a
+    # scalar reduction: fetching the real stage output (up to ~92 MB) would
+    # time the tunnel transfer, not the stage (the sum forces the full
+    # stage compute and cannot be DCE'd).
     @jax.jit
     def enhance_only(params, wav, lens):
-        return model.apply({"params": params}, wav, lens,
-                           method=RobustE2E.enhance)[0]
+        return jnp.sum(model.apply({"params": params}, wav, lens,
+                                   method=RobustE2E.enhance)[0])
 
     @jax.jit
     def encode_only(params, wav, lens):
-        return model.apply({"params": params}, wav, lens, True,
-                           method=RobustE2E.encode_for_decode)[0]
+        out = model.apply({"params": params}, wav, lens, True,
+                          method=RobustE2E.encode_for_decode)
+        return jnp.sum(out[0]) + jnp.sum(out[3])
 
     t_enh = _timed(lambda: enhance_only(params, wav, lens))
     t_enc = _timed(lambda: encode_only(params, wav, lens))
