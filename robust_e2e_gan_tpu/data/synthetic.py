@@ -47,6 +47,21 @@ class SyntheticConfig:
     # instead of uniformly random token strings — gives the language real
     # sequence structure an RNNLM can exploit (None = unconstrained words)
     lexicon_size: Optional[int] = None
+    # ---- round-3 realism knobs (round-2 VERDICT #7: give the enhancer
+    # conditions where masks genuinely help — reverberation + nonstationary
+    # interference, CHiME-4's actual failure modes) ----
+    # synthetic RIR convolution: exponential-decay random reflections with
+    # this T60-ish decay (seconds); 0 disables. The NOISY signal is
+    # reverberant; the clean pair target stays anechoic, so the enhancer
+    # must suppress late reverberation as well as noise.
+    reverb_t60: float = 0.0
+    # nonstationary babble: this many competing token-tone streams at
+    # random offsets with low-frequency AM envelopes (spectrally
+    # overlapping the speech tokens, unlike white noise); 0 disables
+    babble_streams: int = 0
+    # random per-utterance channel tilt (one-pole pre-emphasis/de-emphasis
+    # with coefficient drawn from +/- this value); 0 disables
+    channel_tilt: float = 0.0
 
     @property
     def space_id(self) -> int:
@@ -74,15 +89,23 @@ class SyntheticConfig:
         return self.max_label_len * longest
 
 
-def hard_task(vocab_size: int = 32, seed: int = 0) -> SyntheticConfig:
-    """Non-saturating benchmark task (round-1 VERDICT missing #3).
+def hard_task(
+    vocab_size: int = 32, seed: int = 0, reverb: bool = True,
+    babble: bool = True,
+) -> SyntheticConfig:
+    """Non-saturating benchmark task (round-1 VERDICT missing #3; round-2
+    VERDICT #7 hardened it toward CHiME-4 realism).
 
-    Harder than the default along every axis the verdict named: 29 real
+    Harder than the default along every axis the verdicts named: 29 real
     tokens packed 110 Hz apart (vs 10 tokens 180 Hz apart), multi-word
     transcripts up to ~27 labels (vs 10), utterances up to ~3.5 s (vs
-    1.2 s), per-token duration jitter, and per-utterance SNR mixed over
-    [-3, +5] dB. Joint adversarial training no longer reaches 0% WER, so
-    round-over-round deltas are measurable.
+    1.2 s), per-token duration jitter, per-utterance SNR mixed over
+    [-3, +5] dB — and, round 3: reverberation (synthetic exponential-decay
+    RIR on the noisy channel), nonstationary babble built from competing
+    token streams (spectrally overlapping the speech, so T-F masks
+    genuinely matter), and a random channel tilt. Joint adversarial
+    training does not reach 0% WER, so round-over-round deltas are
+    measurable. ``reverb=False, babble=False`` reproduces the round-2 task.
     """
     return SyntheticConfig(
         vocab_size=vocab_size,
@@ -97,6 +120,9 @@ def hard_task(vocab_size: int = 32, seed: int = 0) -> SyntheticConfig:
         max_word_len=3,
         tone_jitter=0.3,
         seed=seed,
+        reverb_t60=0.25 if reverb else 0.0,
+        babble_streams=3 if babble else 0,
+        channel_tilt=0.3 if babble else 0.0,
     )
 
 
@@ -152,10 +178,70 @@ def sample_transcript(
     return np.asarray(out, np.int32)
 
 
+def _fft_convolve_trunc(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """FFT convolution truncated to len(x) (keeps utterance length fixed)."""
+    n = len(x) + len(h) - 1
+    nfft = 1 << (n - 1).bit_length()
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(h, nfft), nfft)
+    return y[: len(x)].astype(np.float32)
+
+
+def _random_rir(cfg: SyntheticConfig, rng: np.random.Generator) -> np.ndarray:
+    """Synthetic room impulse response: unit direct path + sparse early
+    reflections + exponentially-decaying diffuse tail at the configured
+    T60 (the image ships no measured RIRs; this is the standard
+    image-method-shaped surrogate)."""
+    sr = cfg.sample_rate
+    length = max(int(cfg.reverb_t60 * sr), 64)
+    t = np.arange(length) / sr
+    # -60 dB at t60 -> decay constant
+    tail = rng.standard_normal(length) * np.exp(
+        -6.9078 * t / cfg.reverb_t60
+    )
+    rir = 0.3 * tail
+    rir[0] = 1.0  # direct path
+    for _ in range(4):  # sparse early reflections, 5-50 ms
+        d = int(rng.uniform(0.005, 0.05) * sr)
+        if d < length:
+            rir[d] += rng.uniform(0.2, 0.6) * (1 if rng.random() < 0.5 else -1)
+    return rir.astype(np.float32)
+
+
+def _babble(
+    n: int, cfg: SyntheticConfig, rng: np.random.Generator
+) -> np.ndarray:
+    """Nonstationary competing-speaker interference: ``babble_streams``
+    independent token-tone streams at random offsets, each under a random
+    low-frequency AM envelope — spectrally overlapping the speech tokens,
+    which white noise is not."""
+    out = np.zeros(n, np.float32)
+    seg = int(cfg.tone_ms * cfg.sample_rate / 1000.0)
+    for _ in range(cfg.babble_streams):
+        pos = int(rng.integers(0, max(seg // 2, 1)))
+        while pos < n:
+            tk = int(rng.integers(cfg.first_token, cfg.vocab_size))
+            ln = min(int(seg * rng.uniform(0.7, 1.5)), n - pos)
+            if ln <= 8:
+                break
+            out[pos : pos + ln] += _token_wave(tk, ln, cfg).astype(np.float32)
+            pos += ln + int(rng.integers(0, seg))
+    t = np.arange(n) / cfg.sample_rate
+    am = 0.6 + 0.4 * np.sin(
+        2 * np.pi * rng.uniform(0.5, 4.0) * t + rng.uniform(0, 2 * np.pi)
+    )
+    return (out * am).astype(np.float32)
+
+
 def synth_utterance(
     tokens: np.ndarray, cfg: SyntheticConfig, rng: np.random.Generator
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """tokens -> (clean_wav, noisy_wav), float32."""
+    """tokens -> (clean_wav, noisy_wav), float32.
+
+    The clean target stays anechoic; reverberation / babble / channel tilt
+    (when configured) corrupt only the noisy channel, so the enhancer must
+    undo them — matching the CHiME-4 multi-condition pairing the reference
+    trained on (SURVEY.md section 2a Dataset/Loader).
+    """
     seg = int(cfg.tone_ms * cfg.sample_rate / 1000.0)
     pieces = []
     for tk in tokens:
@@ -169,21 +255,34 @@ def synth_utterance(
         else:
             pieces.append(_token_wave(int(tk), n, cfg))
     clean = np.concatenate(pieces).astype(np.float32)
+
+    received = clean
+    if cfg.reverb_t60 > 0.0:
+        received = _fft_convolve_trunc(clean, _random_rir(cfg, rng))
+    if cfg.channel_tilt > 0.0:
+        a = cfg.channel_tilt * (2.0 * rng.random() - 1.0)
+        received = np.convolve(received, [1.0, -a])[: len(received)].astype(
+            np.float32
+        )
+
     snr_db = cfg.noise_snr_db
     if cfg.snr_range_db is not None:
         lo, hi = cfg.snr_range_db
         snr_db = float(lo + (hi - lo) * rng.random())
-    sig_pow = float(np.mean(clean**2) + 1e-9)
+    sig_pow = float(np.mean(received**2) + 1e-9)
     noise_pow = sig_pow / (10.0 ** (snr_db / 10.0))
     noise = rng.standard_normal(clean.shape).astype(np.float32)
-    # AM-modulated tone interference ("babble"-ish structured noise)
-    t = np.arange(clean.shape[0]) / cfg.sample_rate
-    am = (1 + np.sin(2 * np.pi * 3.0 * t)) * np.sin(
-        2 * np.pi * (500 + 400 * rng.random()) * t
-    )
-    noise = noise + am.astype(np.float32)
+    if cfg.babble_streams > 0:
+        noise = 0.3 * noise + _babble(len(clean), cfg, rng)
+    else:
+        # AM-modulated tone interference ("babble"-ish structured noise)
+        t = np.arange(clean.shape[0]) / cfg.sample_rate
+        am = (1 + np.sin(2 * np.pi * 3.0 * t)) * np.sin(
+            2 * np.pi * (500 + 400 * rng.random()) * t
+        )
+        noise = noise + am.astype(np.float32)
     noise *= np.sqrt(noise_pow / (np.mean(noise**2) + 1e-9))
-    return clean, (clean + noise).astype(np.float32)
+    return clean, (received + noise).astype(np.float32)
 
 
 def make_batch(

@@ -25,6 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -45,8 +48,9 @@ from robust_e2e_gan_tpu.train.steps import (
     init_train_state, make_asr_pretrain_step, make_joint_train_step,
 )
 
-# the non-saturating hard task (round-2): 32-token vocab, multi-word
-# transcripts, per-token duration jitter, SNR mixed over [-3, +5] dB
+# the non-saturating hard task (round-3 v3): 32-token vocab, multi-word
+# transcripts, per-token duration jitter, SNR mixed over [-3, +5] dB, plus
+# reverberation + nonstationary babble + channel tilt (round-2 VERDICT #7)
 SCFG = hard_task(vocab_size=32)
 VOCAB = SCFG.vocab_size
 JCFG = JointConfig(
@@ -149,7 +153,8 @@ def main(steps_a=400, steps_c=400):
           flush=True)
 
     summary = {
-        "task": "hard_task(vocab=32, words, jitter, SNR -3..+5 dB)",
+        "task": "hard_task v3 (vocab=32, words, jitter, SNR -3..+5 dB, "
+                "reverb T60 0.25 s, 3-stream babble, channel tilt)",
         "noisy_wer_no_enhancement": round(wer_noisy_raw["wer"], 4),
         "noisy_wer_cascade_enhancement": round(wer_cascade["wer"], 4),
         "noisy_wer_joint_adversarial": round(wer_joint["wer"], 4),
@@ -163,6 +168,9 @@ def main(steps_a=400, steps_c=400):
         ),
         "steps": {"asr_pretrain": steps_a, "joint": steps_c},
         "snr_range_db": list(SCFG.snr_range_db),
+        "reverb_t60": SCFG.reverb_t60,
+        "babble_streams": SCFG.babble_streams,
+        "channel_tilt": SCFG.channel_tilt,
     }
     print(json.dumps(summary))
     import os

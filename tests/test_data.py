@@ -234,14 +234,26 @@ def test_hard_task_synthetic():
     lens = {synth_utterance(tr, cfg, np.random.default_rng(s))[0].shape[0]
             for s in range(5)}
     assert len(lens) > 1
-    # mixed SNR: per-utterance noise power varies beyond jitter effects
+    # mixed SNR: the [-3, +5] dB draw is exact on the round-2 variant
+    # (reverb/babble off — there x - c IS the additive noise)
+    legacy = hard_task(vocab_size=32, reverb=False, babble=False)
     snrs = []
     for s in range(12):
-        c, x = synth_utterance(tr, cfg, np.random.default_rng(s))
+        c, x = synth_utterance(tr, legacy, np.random.default_rng(s))
         noise = x - c
         snrs.append(10 * np.log10(np.mean(c**2) / np.mean(noise**2)))
     assert max(snrs) - min(snrs) > 3.0
     assert -4.0 < min(snrs) and max(snrs) < 6.0
+    # round-3 realism: reverberation + babble make the received channel
+    # strictly more corrupted than the additive-noise-only variant
+    hard_snrs = []
+    for s in range(12):
+        c, x = synth_utterance(tr, cfg, np.random.default_rng(s))
+        mism = x - c  # additive noise + reverb tail + channel tilt
+        hard_snrs.append(10 * np.log10(np.mean(c**2) / np.mean(mism**2)))
+        assert np.isfinite(x).all()
+    assert np.mean(hard_snrs) < np.mean(snrs) - 1.0
+    assert cfg.reverb_t60 > 0 and cfg.babble_streams > 0
 
 
 def test_synthetic_backward_compat():
