@@ -476,10 +476,15 @@ class Prefetcher:
             except BaseException as e:  # surfaced on next()
                 self.err = e
             finally:
-                try:
-                    self.q.put_nowait(self._DONE)
-                except queue.Full:
-                    pass
+                # blocking put (bounded by _stop): _DONE must reach the
+                # consumer even when the queue is momentarily full, or a
+                # draining consumer would wait forever
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self.t = threading.Thread(target=work, daemon=True)
         self.t.start()

@@ -47,7 +47,7 @@ def main(argv: Optional[list] = None) -> None:
     from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    model, disc, state, jcfg, tok, step, _ = load_experiment(
+    model, disc, state, jcfg, tok, step, _, _ = load_experiment(
         args.ckpt_dir, args.which
     )
 

@@ -131,22 +131,24 @@ def train(
     timer = StepTimer()
 
     for epoch in range(start_epoch, tcfg.num_epochs):
-        it = Prefetcher(train_batches(), depth=prefetch_depth)
-        for batch in it:
-            timer.tic()
-            state, metrics = step_fn(state, _device_batch(batch, mesh))
-            step = int(state.step)
-            if step % tcfg.log_every == 0:
-                jax.block_until_ready(metrics)
-                logger.log(step, metrics, prefix=f"epoch {epoch} ")
-            if save_every_steps and step % save_every_steps == 0:
-                # preemption safety net between the per-epoch checkpoints
-                ckpt_lib.save_checkpoint(
-                    tcfg.checkpoint_dir, state, step, metric=None, keep=3,
-                    extra={"epoch": epoch, "epoch_complete": False,
-                           "best_acc": best_acc},
-                )
-            timer.toc()
+        # context manager releases the prefetch thread if a step raises
+        with Prefetcher(train_batches(), depth=prefetch_depth) as it:
+            for batch in it:
+                timer.tic()
+                state, metrics = step_fn(state, _device_batch(batch, mesh))
+                step = int(state.step)
+                if step % tcfg.log_every == 0:
+                    jax.block_until_ready(metrics)
+                    logger.log(step, metrics, prefix=f"epoch {epoch} ")
+                if save_every_steps and step % save_every_steps == 0:
+                    # preemption safety net between per-epoch checkpoints
+                    ckpt_lib.save_checkpoint(
+                        tcfg.checkpoint_dir, state, step, metric=None,
+                        keep=3,
+                        extra={"epoch": epoch, "epoch_complete": False,
+                               "best_acc": best_acc},
+                    )
+                timer.toc()
 
         # ---- dev evaluation (mean over dev batches)
         dev_acc = None

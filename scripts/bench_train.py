@@ -21,6 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()

@@ -35,6 +35,8 @@ import numpy as np
 import jax.numpy as jnp
 
 sys.path.insert(0, {repo!r})
+from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 from robust_e2e_gan_tpu.parallel import (
     make_mesh, process_batch_slice, shard_batch,
 )
@@ -63,7 +65,21 @@ print(f"proc {pid} OK global_sum={got}", flush=True)
 """.replace("{repo!r}", repr(REPO))
 
 
-def _spawn_pair(child_src, extra_args=()):
+def _spawn_pair(child_src, extra_args=(), retries=1):
+    """Run the 2-process pair; retry once on failure — the first cold run
+    can race on concurrent persistent-cache writes / coordination-service
+    heartbeats when the host is loaded (observed flaky under a full
+    parallel suite; deterministic when warm)."""
+    for attempt in range(retries + 1):
+        procs, outs = _spawn_pair_once(child_src, extra_args)
+        if all(p.returncode == 0 for p in procs) or attempt == retries:
+            return procs, outs
+        print(f"multihost pair failed (attempt {attempt}); retrying",
+              flush=True)
+    return procs, outs
+
+
+def _spawn_pair_once(child_src, extra_args=()):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -110,6 +126,7 @@ jax.config.update("jax_platforms", "cpu")
 coord, pid, ckpt_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 jax.distributed.initialize(
     coordinator_address=coord, num_processes=2, process_id=pid,
+    initialization_timeout=300,
 )
 assert jax.process_count() == 2
 
@@ -117,6 +134,8 @@ import numpy as np
 import jax.numpy as jnp
 
 sys.path.insert(0, {repo!r})
+from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 from __graft_entry__ import _tiny_config
 from robust_e2e_gan_tpu.config import TrainConfig
 from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
@@ -152,8 +171,26 @@ local = {k: v[sl] for k, v in full.items()}
 sharded = shard_batch(local, mesh)
 
 step = make_joint_train_step(model, disc, jcfg, opt_g, opt_d, with_asr=True)
+# AOT-compile locally, then BARRIER before the first dispatch: the Gloo
+# collective rendezvous has a hard 30 s timeout, and under load the two
+# processes can finish compiling minutes apart — the coordination-service
+# barrier (long timeout) absorbs that skew.
+compiled = step.lower(state, sharded).compile()
+
+
+def coord_barrier(name, timeout_ms=600_000):
+    # coordination-service barrier: pure RPC, no device collectives —
+    # multihost_utils.sync_global_devices is an all_gather whose Gloo
+    # rendezvous times out at 30 s, far less than the possible compile
+    # skew between the two processes
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
+coord_barrier("compiled")
 for _ in range(2):
-    state, metrics = step(state, sharded)
+    state, metrics = compiled(state, sharded)
 host = {
     k: float(np.asarray(v.addressable_data(0))) for k, v in metrics.items()
 }
@@ -162,8 +199,7 @@ print("METRICS", json.dumps(host), flush=True)
 # checkpoint from process 0, then all processes restore and verify
 if pid == 0:
     ckpt_lib.save_checkpoint(ckpt_dir, state, step=2)
-from jax.experimental import multihost_utils
-multihost_utils.sync_global_devices("ckpt saved")
+coord_barrier("ckpt_saved")
 restored, restored_step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
 assert restored_step == 2
 cur = jax.tree_util.tree_leaves(state.params_g)
