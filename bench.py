@@ -64,6 +64,16 @@ def main():
     jcfg = dataclasses.replace(
         _flagship_config(vocab), compute_dtype="bfloat16"
     )
+    # serving path: fused Pallas BLSTM frame loops (forward-only; the
+    # train-side config keeps the differentiable scan)
+    jcfg = dataclasses.replace(
+        jcfg,
+        e2e=dataclasses.replace(
+            jcfg.e2e,
+            encoder=dataclasses.replace(jcfg.e2e.encoder, lstm_impl="auto"),
+        ),
+        enhancer=dataclasses.replace(jcfg.enhancer, lstm_impl="auto"),
+    )
     model = build_model(jcfg)
     # early_exit=False: with untrained weights hypotheses can emit eos
     # arbitrarily early, so the honest throughput number runs the full

@@ -69,6 +69,11 @@ class EncoderConfig:
     # 4 speeds the joint train step ~11% but slows batched decode ~9%, so
     # training configs opt in (train CLI --scan-unroll) and decode keeps 1.
     scan_unroll: int = 0
+    # BLSTM frame-loop implementation: "scan" (XLA lax.scan, differentiable
+    # — REQUIRED for training), "tiled" (fused forward-only Pallas kernel,
+    # ops/blstm_pallas.py), "auto" (tiled on TPU, scan elsewhere). Decode
+    # and bench rebuild with "auto"; parameters are impl-independent.
+    lstm_impl: str = "scan"
 
 
 @dataclass(frozen=True)
@@ -111,6 +116,7 @@ class EnhancerConfig:
     compression: str = "log1p"  # input compression: log1p | log | none
     remat: bool = False  # jax.checkpoint each BLSTM layer
     scan_unroll: int = 0  # see EncoderConfig.scan_unroll
+    lstm_impl: str = "scan"  # see EncoderConfig.lstm_impl
 
 
 @dataclass(frozen=True)

@@ -109,12 +109,20 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     # are unroll-independent, so always rebuild for decode with the default.
     import dataclasses as _dc
 
+    # lstm_impl="auto" additionally swaps the BLSTM frame loops for the
+    # fused forward-only Pallas kernel on TPU (ops/blstm_pallas.py) —
+    # decode never differentiates, and parameters are impl-independent.
     jcfg = _dc.replace(
         jcfg,
         e2e=_dc.replace(
-            jcfg.e2e, encoder=_dc.replace(jcfg.e2e.encoder, scan_unroll=0)
+            jcfg.e2e,
+            encoder=_dc.replace(
+                jcfg.e2e.encoder, scan_unroll=0, lstm_impl="auto"
+            ),
         ),
-        enhancer=_dc.replace(jcfg.enhancer, scan_unroll=0),
+        enhancer=_dc.replace(
+            jcfg.enhancer, scan_unroll=0, lstm_impl="auto"
+        ),
     )
     input_kind = saved.get("input_kind", "wav")
     tok_path = os.path.join(ckpt_dir, "tokenizer.json")

@@ -85,6 +85,7 @@ class Encoder(nn.Module):
             dtype=self.dtype,
             unroll=self.cfg.scan_unroll or None,
             remat=self.cfg.remat,
+            impl=self.cfg.lstm_impl,
             name="blstmp",
         )(h, hmask, deterministic=deterministic)
         return hs, hmask, hlens

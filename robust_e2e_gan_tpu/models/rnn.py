@@ -146,6 +146,13 @@ class BLSTM(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
     unroll: Optional[int] = None
+    # Frame-loop implementation: "scan" (XLA lax.scan, differentiable,
+    # the default), "tiled" (fused Pallas inference kernel,
+    # ops/blstm_pallas.py — weights/carries VMEM-resident, forward-only),
+    # or "auto" ("tiled" on TPU, "scan" elsewhere). Parameters are
+    # impl-independent. The tiled path requires the mask to be a length
+    # (interval) mask, which every caller in this codebase constructs.
+    impl: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -163,6 +170,17 @@ class BLSTM(nn.Module):
 
         if mask is None:
             mask = jnp.ones((b, t), dtype=x.dtype)
+
+        impl = self.impl or "scan"
+        if impl == "auto":
+            impl = "tiled" if jax.default_backend() == "tpu" else "scan"
+        if impl == "tiled":
+            from robust_e2e_gan_tpu.ops.blstm_pallas import blstm_infer
+
+            lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+            ys = blstm_infer(x, lengths, wx, wh, bias)  # (B, T, 2H)
+            return ys.astype(self.dtype)
+
         xs = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, D)
         ms = jnp.stack([mask, jnp.flip(mask, axis=1)])  # (2, B, T)
 
@@ -217,7 +235,12 @@ class BLSTMP(nn.Module):
     unroll: Optional[int] = None  # scan unroll for each BLSTM layer
     remat: bool = False  # rematerialize each BLSTM layer in the backward
     # pass (jax.checkpoint): trades recompute for activation HBM on long
-    # utterances
+    # utterances. v5e-measured (scripts/bench_train_scale.py,
+    # results/train_scale.json): does NOT pay at reference scale — the
+    # recompute adds serial latency (47.7 -> 48.5 ms at B=32); the lever
+    # that works for the bandwidth-bound step is batch size (B=64: +15%
+    # utt/s). Kept for genuinely memory-limited configs.
+    impl: Optional[str] = None  # per-layer BLSTM frame-loop impl (see BLSTM)
 
     @nn.compact
     def __call__(
@@ -231,7 +254,7 @@ class BLSTMP(nn.Module):
         for i in range(self.num_layers):
             h = blstm_cls(
                 self.hidden_dim, dtype=self.dtype, unroll=self.unroll,
-                name=f"blstm{i}"
+                impl=self.impl, name=f"blstm{i}"
             )(h, mask)
             h = nn.Dense(
                 self.proj_dim, dtype=self.dtype, name=f"proj{i}"
