@@ -87,6 +87,12 @@ class AttentionConfig:
     conv_kernel: int = 201  # odd; reference-era aconv_filts=100 -> 2*100+1
     sharpening: float = 2.0  # scaling of pre-softmax scores
     variant: str = "location"  # location | add | dot (reference atype)
+    # Beam-mode score implementation: "xla" (reference-exact broadcast
+    # path), "fused" (ops/att_pallas.py one-kernel step, serving fast
+    # path), "auto" (fused on TPU, xla elsewhere). Training and the
+    # non-beam step always use the XLA path; parameters are
+    # impl-independent.
+    score_impl: str = "auto"
 
 
 @dataclass(frozen=True)

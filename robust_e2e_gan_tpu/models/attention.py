@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -90,14 +91,58 @@ class AttLoc(nn.Module):
             dtype=self.dtype,
             name="loc_conv",
         )(ap[..., None])
-        loc = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_loc")(loc)
+        mlp_loc = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_loc")
         dec = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_dec")(dec_z)
+        if beam and self._fused_score():
+            # serving fast path: the whole score+softmax+context step in
+            # one Pallas program (ops/att_pallas.py) — the (B, K, T, A)
+            # location projection never touches HBM. The kernels are read
+            # through the same submodules (identity-matrix applies return
+            # them), so the parameter tree matches the XLA path exactly.
+            from robust_e2e_gan_tpu.ops.att_pallas import att_loc_fused
+
+            b, k, t = att_prev.shape
+            c = self.cfg.conv_channels
+            wloc = mlp_loc(jnp.eye(c, dtype=self.dtype))
+            g = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(
+                jnp.eye(a, dtype=self.dtype)
+            )[:, 0]
+            out = att_loc_fused(
+                loc.reshape(b, k, t, c), enc_proj, enc, dec, wloc, g,
+                mask, self.cfg.sharpening,
+            )
+            if out is not None:
+                ctx_f, att_f = out
+                return ctx_f.astype(enc.dtype), att_f.astype(att_prev.dtype)
+            # shapes outside the kernel's budget: fall through to XLA,
+            # scoring through the already-declared gvec submodule
+            loc = mlp_loc(loc)
+            loc = loc.reshape(att_prev.shape + (a,))  # (B, K, T, A)
+            pre = enc_proj[:, None] + loc + dec[:, :, None, :]
+            e = jnp.sum(
+                jnp.tanh(pre).astype(jnp.float32)
+                * g.astype(jnp.float32), axis=-1
+            )
+            return self._finish(e, mask, enc, att_prev, beam)
+        loc = mlp_loc(loc)
         if beam:
             loc = loc.reshape(att_prev.shape + (a,))  # (B, K, T, A)
             pre = enc_proj[:, None] + loc + dec[:, :, None, :]
         else:
             pre = enc_proj + loc + dec[:, None, :]
         e = _gvec_score(self, pre)
+        return self._finish(e, mask, enc, att_prev, beam)
+
+    def _fused_score(self) -> bool:
+        impl = getattr(self.cfg, "score_impl", "auto")
+        if impl == "fused":
+            return True
+        if impl == "auto":
+            return jax.default_backend() == "tpu"
+        return False
+
+    def _finish(self, e, mask, enc, att_prev, beam):
+        """Masked softmax + context shared by the XLA score paths."""
         e = self.cfg.sharpening * e
         m = mask[:, None, :] if beam else mask
         e = jnp.where(m > 0, e, _MASK_MIN)
