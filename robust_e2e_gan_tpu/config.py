@@ -74,6 +74,10 @@ class EncoderConfig:
     # ops/blstm_pallas.py), "auto" (tiled on TPU, scan elsewhere). Decode
     # and bench rebuild with "auto"; parameters are impl-independent.
     lstm_impl: str = "scan"
+    # Storage dtype of the scan's hoisted gate projections (the backward
+    # pass's dominant HBM residual): "f32" exact, "compute" rounds to the
+    # compute dtype (train CLI --gate-storage; v5e numbers in BASELINE.md).
+    gate_storage: str = "f32"
 
 
 @dataclass(frozen=True)
@@ -123,6 +127,7 @@ class EnhancerConfig:
     remat: bool = False  # jax.checkpoint each BLSTM layer
     scan_unroll: int = 0  # see EncoderConfig.scan_unroll
     lstm_impl: str = "scan"  # see EncoderConfig.lstm_impl
+    gate_storage: str = "f32"  # see EncoderConfig.gate_storage
 
 
 @dataclass(frozen=True)

@@ -117,11 +117,13 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
         e2e=_dc.replace(
             jcfg.e2e,
             encoder=_dc.replace(
-                jcfg.e2e.encoder, scan_unroll=0, lstm_impl="auto"
+                jcfg.e2e.encoder, scan_unroll=0, lstm_impl="auto",
+                gate_storage="f32",  # decode is forward-only: keep exact
             ),
         ),
         enhancer=_dc.replace(
-            jcfg.enhancer, scan_unroll=0, lstm_impl="auto"
+            jcfg.enhancer, scan_unroll=0, lstm_impl="auto",
+            gate_storage="f32",
         ),
     )
     input_kind = saved.get("input_kind", "wav")

@@ -86,6 +86,7 @@ class Encoder(nn.Module):
             unroll=self.cfg.scan_unroll or None,
             remat=self.cfg.remat,
             impl=self.cfg.lstm_impl,
+            gate_storage=self.cfg.gate_storage,
             name="blstmp",
         )(h, hmask, deterministic=deterministic)
         return hs, hmask, hlens

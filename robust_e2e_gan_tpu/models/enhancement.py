@@ -50,7 +50,8 @@ class EnhanceNet(nn.Module):
             h = blstm_cls(
                 self.cfg.hidden_dim, dtype=self.dtype,
                 unroll=self.cfg.scan_unroll or None,
-                impl=self.cfg.lstm_impl, name=f"blstm{i}"
+                impl=self.cfg.lstm_impl,
+                gate_storage=self.cfg.gate_storage, name=f"blstm{i}"
             )(h, frame_mask)
         m = nn.Dense(self.cfg.input_dim, dtype=self.dtype, name="mask_out")(h)
         tf_mask = jax.nn.sigmoid(m)

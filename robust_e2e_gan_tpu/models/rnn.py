@@ -153,6 +153,11 @@ class BLSTM(nn.Module):
     # impl-independent. The tiled path requires the mask to be a length
     # (interval) mask, which every caller in this codebase constructs.
     impl: Optional[str] = None
+    # Storage dtype of the hoisted (T, 2, B, 4H) gate projections the
+    # backward pass re-reads: "f32" (exact) or "compute" (store in
+    # self.dtype — halves the train step's dominant HBM residual when
+    # computing in bf16; the gate math itself stays f32 either way).
+    gate_storage: str = "f32"
 
     @nn.compact
     def __call__(
@@ -191,6 +196,12 @@ class BLSTM(nn.Module):
             )
             + bias[:, None, None, :]
         )
+        if self.gate_storage == "compute" and self.dtype != jnp.float32:
+            # round the hoisted projections to the compute dtype: the
+            # (T, 2, B, 4H) tensor the backward re-reads is the train
+            # step's dominant HBM residual; the recurrent math below
+            # still runs f32
+            gates_x = gates_x.astype(self.dtype)
 
         def step(carry, inputs):
             h_prev, c_prev = carry  # (2, B, H)
@@ -199,7 +210,7 @@ class BLSTM(nn.Module):
                 "zbh,zhg->zbg", h_prev, wh,
                 preferred_element_type=jnp.float32,
             )
-            i, f, g, o = jnp.split(gx_t + gh, 4, axis=-1)
+            i, f, g, o = jnp.split(gx_t.astype(jnp.float32) + gh, 4, axis=-1)
             c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
             h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
             m = m_t[..., None]
@@ -241,6 +252,7 @@ class BLSTMP(nn.Module):
     # that works for the bandwidth-bound step is batch size (B=64: +15%
     # utt/s). Kept for genuinely memory-limited configs.
     impl: Optional[str] = None  # per-layer BLSTM frame-loop impl (see BLSTM)
+    gate_storage: str = "f32"  # see BLSTM.gate_storage
 
     @nn.compact
     def __call__(
@@ -254,7 +266,8 @@ class BLSTMP(nn.Module):
         for i in range(self.num_layers):
             h = blstm_cls(
                 self.hidden_dim, dtype=self.dtype, unroll=self.unroll,
-                impl=self.impl, name=f"blstm{i}"
+                impl=self.impl, gate_storage=self.gate_storage,
+                name=f"blstm{i}"
             )(h, mask)
             h = nn.Dense(
                 self.proj_dim, dtype=self.dtype, name=f"proj{i}"

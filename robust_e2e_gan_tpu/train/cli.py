@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan-unroll", type=int, default=4,
                    help="LSTM scan unroll for TRAINING models (v5e-tuned "
                         "default 4; decode rebuilds with 1)")
+    p.add_argument("--gate-storage", choices=("f32", "compute"),
+                   default="f32",
+                   help="storage dtype of the BLSTM scans' hoisted gate "
+                        "projections — 'compute' halves the backward's "
+                        "dominant HBM residual under --compute-dtype "
+                        "bfloat16 (v5e numbers in BASELINE.md)")
     p.add_argument("--cmvn",
                    choices=("utterance", "global", "speaker", "none"),
                    default="utterance")
@@ -139,6 +145,7 @@ def configs_from_args(args, vocab_size: int):
                 input_dim=args.n_mels, num_layers=args.enc_layers,
                 hidden_dim=args.enc_hidden, proj_dim=args.enc_proj,
                 remat=args.remat, scan_unroll=args.scan_unroll,
+                gate_storage=args.gate_storage,
             ),
             attention=AttentionConfig(dim=args.att_dim),
             decoder=DecoderConfig(
@@ -151,6 +158,7 @@ def configs_from_args(args, vocab_size: int):
         enhancer=EnhancerConfig(
             num_layers=args.enh_layers, hidden_dim=args.enh_hidden,
             remat=args.remat, scan_unroll=args.scan_unroll,
+            gate_storage=args.gate_storage,
         ),
         discriminator=DiscriminatorConfig(input_dim=args.n_mels),
         lambda_adv=args.lambda_adv,

@@ -41,28 +41,32 @@ from robust_e2e_gan_tpu.train.steps import init_train_state, make_joint_train_st
 VOCAB = 52
 
 
-def ref_cfg(remat: bool, unroll: int = 4) -> JointConfig:
+def ref_cfg(remat: bool, unroll: int = 4,
+            gate_storage: str = "f32") -> JointConfig:
     return JointConfig(
         e2e=E2EConfig(
             frontend=FrontendConfig(n_mels=80),
             encoder=EncoderConfig(
                 input_dim=80, num_layers=3, hidden_dim=512, proj_dim=512,
                 remat=remat, scan_unroll=unroll,
+                gate_storage=gate_storage,
             ),
             attention=AttentionConfig(dim=512, conv_kernel=201),
             decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=512,
                                   hidden_dim=512),
         ),
         enhancer=EnhancerConfig(input_dim=257, num_layers=2, hidden_dim=512,
-                                remat=remat, scan_unroll=unroll),
+                                remat=remat, scan_unroll=unroll,
+                                gate_storage=gate_storage),
         discriminator=DiscriminatorConfig(input_dim=80,
                                           channels=(32, 64, 128)),
         compute_dtype="bfloat16",
     )
 
 
-def time_step(remat: bool, batch: int, unroll: int = 4):
-    jcfg = ref_cfg(remat, unroll)
+def time_step(remat: bool, batch: int, unroll: int = 4,
+              gate_storage: str = "f32"):
+    jcfg = ref_cfg(remat, unroll, gate_storage)
     model = build_model(jcfg)
     disc = Discriminator(jcfg.discriminator)
     tcfg = TrainConfig(optimizer="adadelta", batch_size=batch)
@@ -95,14 +99,16 @@ def time_step(remat: bool, batch: int, unroll: int = 4):
 
 def main():
     out = {}
-    for name, remat, batch in (
-        ("B32", False, 32),
-        ("B32_remat", True, 32),
-        ("B64", False, 64),
-        ("B64_remat", True, 64),
+    for name, remat, batch, gs in (
+        ("B32", False, 32, "f32"),
+        ("B32_remat", True, 32, "f32"),
+        ("B64", False, 64, "f32"),
+        ("B64_remat", True, 64, "f32"),
+        ("B32_gates_bf16", False, 32, "compute"),
+        ("B64_gates_bf16", False, 64, "compute"),
     ):
         try:
-            out[name] = time_step(remat, batch)
+            out[name] = time_step(remat, batch, gate_storage=gs)
         except Exception as e:  # transient tunnel errors — record and go on
             out[name] = {"error": str(e)[:200]}
         print(name, out[name], flush=True)

@@ -326,3 +326,43 @@ def test_scan_unroll_invariance():
     hs, hmask, hlens = enc.apply({"params": p}, feats,
                                  jnp.asarray([16, 10]))
     assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_gate_storage_compute(rng):
+    """gate_storage="compute" rounds only the hoisted gate projections:
+    bf16 outputs stay within bf16 rounding of the f32-storage run, grads
+    still flow, and f32 compute is bit-identical (the cast is a no-op)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robust_e2e_gan_tpu.models.rnn import BLSTM
+
+    x = jnp.asarray(rng.standard_normal((3, 11, 8)).astype(np.float32))
+    mask = jnp.asarray(
+        (np.arange(11)[None, :] < np.array([[11], [6], [9]])).astype(
+            np.float32
+        )
+    )
+    # f32 compute: storage knob must be a no-op
+    m_exact = BLSTM(16, gate_storage="f32")
+    m_cmp = BLSTM(16, gate_storage="compute")
+    params = m_exact.init(jax.random.PRNGKey(0), x, mask)
+    y0 = m_exact.apply(params, x, mask)
+    y1 = m_cmp.apply(params, x, mask)
+    assert np.array_equal(np.asarray(y0), np.asarray(y1))
+
+    # bf16 compute: rounding-level difference only, grads flow
+    m_bf = BLSTM(16, dtype=jnp.bfloat16, gate_storage="f32")
+    m_bfc = BLSTM(16, dtype=jnp.bfloat16, gate_storage="compute")
+    yb0 = m_bf.apply(params, x, mask).astype(jnp.float32)
+    yb1 = m_bfc.apply(params, x, mask).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(yb0), np.asarray(yb1),
+                               rtol=0, atol=5e-2)
+
+    def loss(p):
+        return jnp.sum(m_bfc.apply(p, x, mask).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(bool((np.asarray(l) != 0).any()) for l in leaves)
