@@ -69,18 +69,21 @@ def _kernel(bb: int, k: int, tp: int, cp: int, a: int, e: int, sharpening: float
         #          work (A, K*Tp) cdtype; att2d (K, Tp) f32;
         #          st_f (K*Tp, K) f32; s_f (K, K*Tp) f32
 
-        # ---- constants shared by every utterance in this grid step
-        sub_i = jax.lax.broadcasted_iota(jnp.int32, (k, ktp), 0)
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (k, ktp), 1)
-        seg = (lane_i // tp == sub_i)
-        s_f[...] = seg.astype(jnp.float32)
-        sub_t = jax.lax.broadcasted_iota(jnp.int32, (ktp, k), 0)
-        lane_t = jax.lax.broadcasted_iota(jnp.int32, (ktp, k), 1)
-        st_f[...] = (sub_t // tp == lane_t).astype(jnp.float32)
-        rhs[...] = jnp.zeros((128, ktp), cdtype)
-        rhs[cp:cp + k, :] = seg.astype(cdtype)
-        lhs[...] = jnp.zeros((a, 128), cdtype)
-        lhs[:, 0:cp] = wloct_ref[...]
+        # ---- constants shared by every utterance and every grid step
+        # (scratch persists across the sequential TPU grid: build once)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (k, ktp), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (k, ktp), 1)
+            seg = (lane_i // tp == sub_i)
+            s_f[...] = seg.astype(jnp.float32)
+            sub_t = jax.lax.broadcasted_iota(jnp.int32, (ktp, k), 0)
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (ktp, k), 1)
+            st_f[...] = (sub_t // tp == lane_t).astype(jnp.float32)
+            rhs[...] = jnp.zeros((128, ktp), cdtype)
+            rhs[cp:cp + k, :] = seg.astype(cdtype)
+            lhs[...] = jnp.zeros((a, 128), cdtype)
+            lhs[:, 0:cp] = wloct_ref[...]
 
         for bi in range(bb):
             rhs[0:cp, :] = feat_ref[bi]
@@ -132,6 +135,7 @@ def att_loc_fused(
     mask: jnp.ndarray,
     sharpening: float,
     interpret: Optional[bool] = None,
+    block_b: Optional[int] = None,
 ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Fused beam-mode attention step.
 
@@ -162,7 +166,12 @@ def att_loc_fused(
     if cp + k > 128:
         return None
     itemsize = jnp.dtype(cdtype).itemsize
-    bb = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
+    if block_b is not None:
+        bb = block_b
+    else:
+        # v5e-swept utterance tile (scripts/bench_att.py): 8 beats 4/16 at
+        # bench shapes; shrink only to divide small batches
+        bb = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
     # working set: blocks + scratch
     vmem = (
         bb * (cp * ktp + ap * tp + tp * ep_ + ap * k) * itemsize  # inputs
