@@ -413,3 +413,79 @@ def test_spectrogram_feats_joint_train_and_decode(tmp_path):
         "--length-buckets", "64",
     ])
     assert os.path.exists(os.path.join(out2, "wer.json"))
+
+
+def test_compute_cmvn_cli(manifest, tmp_path):
+    """cmvn_cli (compute-cmvn-stats parity): feats.scp, wav manifest, and
+    per-speaker modes all produce stats the consumers reload correctly."""
+    from robust_e2e_gan_tpu.data import cmvn_cli, kaldi_io
+    from robust_e2e_gan_tpu.data.cmvn import (
+        SpeakerCmvn, load_cmvn_ark, stats_to_mean_inv_std,
+    )
+
+    # --feats-scp: stats must equal direct numpy moments over all frames
+    rng = np.random.default_rng(7)
+    mats = {f"u{i}": rng.standard_normal((20 + i, 24)).astype(np.float32) * 2
+            for i in range(4)}
+    feats_pfx = str(tmp_path / "feats")
+    kaldi_io.write_ark_scp(mats.items(), feats_pfx + ".ark", feats_pfx + ".scp")
+    out = str(tmp_path / "cmvn.ark")
+    cmvn_cli.main(["--feats-scp", feats_pfx + ".scp", "--out", out])
+    mean, inv_std = stats_to_mean_inv_std(load_cmvn_ark(out))
+    allf = np.concatenate(list(mats.values()), axis=0).astype(np.float64)
+    np.testing.assert_allclose(mean, allf.mean(0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        inv_std, 1.0 / np.sqrt(allf.var(0) + 0), rtol=1e-3)
+
+    # --utt2spk: one stats key per speaker, loadable by SpeakerCmvn
+    u2s = str(tmp_path / "utt2spk")
+    with open(u2s, "w") as f:
+        for i in range(4):
+            f.write(f"u{i} s{i % 2}\n")
+    out_spk = str(tmp_path / "cmvn_spk.ark")
+    cmvn_cli.main(["--feats-scp", feats_pfx + ".scp", "--out", out_spk,
+                   "--utt2spk", u2s])
+    keys = [k for k, _ in kaldi_io.read_mat_ark(out_spk)]
+    assert keys == ["s0", "s1"]
+    sc = SpeakerCmvn.load(out_spk, u2s)
+    m0, _ = sc.lookup(["u0"])
+    s0f = np.concatenate([mats["u0"], mats["u2"]], 0).astype(np.float64)
+    np.testing.assert_allclose(m0[0], s0f.mean(0), rtol=1e-4, atol=1e-5)
+
+    # --manifest (waveform source): stats match running the pipeline's own
+    # frontend directly on the same wavs
+    out_wav = str(tmp_path / "cmvn_wav.ark")
+    cmvn_cli.main(["--manifest", manifest, "--out", out_wav,
+                   "--n-mels", "24"])
+    import jax.numpy as jnp
+
+    from robust_e2e_gan_tpu.config import FrontendConfig
+    from robust_e2e_gan_tpu.ops.fbank import fbank
+
+    cfg = FrontendConfig(n_mels=24)
+    frames = []
+    with open(manifest) as f:
+        for line in f:
+            d = json.loads(line)
+            wav = np.load(os.path.join(os.path.dirname(manifest), d["noisy"]))
+            feats, _ = fbank(jnp.asarray(wav, jnp.float32)[None], cfg,
+                             cmvn="none")
+            frames.append(np.asarray(feats[0], np.float64))
+    allw = np.concatenate(frames, 0)
+    wmean, _ = stats_to_mean_inv_std(load_cmvn_ark(out_wav))
+    np.testing.assert_allclose(wmean, allw.mean(0), rtol=1e-3, atol=1e-4)
+
+    # the produced ark drives training end to end (--cmvn global)
+    ckpt = str(tmp_path / "exp_cc")
+    train_cli.main([
+        "--mode", "asr",
+        "--train-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+        "--cmvn", "global", "--cmvn-ark", out_wav,
+    ])
+    assert os.path.exists(os.path.join(ckpt, "cmvn.ark"))
