@@ -69,10 +69,13 @@ class EncoderConfig:
     # 4 speeds the joint train step ~11% but slows batched decode ~9%, so
     # training configs opt in (train CLI --scan-unroll) and decode keeps 1.
     scan_unroll: int = 0
-    # BLSTM frame-loop implementation: "scan" (XLA lax.scan, differentiable
-    # — REQUIRED for training), "tiled" (fused forward-only Pallas kernel,
-    # ops/blstm_pallas.py), "auto" (tiled on TPU, scan elsewhere). Decode
-    # and bench rebuild with "auto"; parameters are impl-independent.
+    # BLSTM frame-loop implementation: "scan" (XLA lax.scan,
+    # differentiable), "tiled" (fused forward-only Pallas kernel,
+    # ops/blstm_pallas.py), "fused" (differentiable fused Pallas
+    # forward + custom-VJP backward, ops/blstm_train_pallas.py — the
+    # training fast path; oversize layers fall back to scan), "auto"
+    # (tiled on TPU, scan elsewhere). Decode and bench rebuild with
+    # "auto"; parameters are impl-independent.
     lstm_impl: str = "scan"
     # Storage dtype of the scan's hoisted gate projections (the backward
     # pass's dominant HBM residual): "f32" exact, "compute" rounds to the

@@ -149,9 +149,12 @@ class BLSTM(nn.Module):
     # Frame-loop implementation: "scan" (XLA lax.scan, differentiable,
     # the default), "tiled" (fused Pallas inference kernel,
     # ops/blstm_pallas.py — weights/carries VMEM-resident, forward-only),
-    # or "auto" ("tiled" on TPU, "scan" elsewhere). Parameters are
-    # impl-independent. The tiled path requires the mask to be a length
-    # (interval) mask, which every caller in this codebase constructs.
+    # "fused" (differentiable fused Pallas forward + custom-VJP backward,
+    # ops/blstm_train_pallas.py — usable inside train steps; falls back
+    # to scan when the layer exceeds the kernel VMEM budget), or "auto"
+    # ("tiled" on TPU, "scan" elsewhere). Parameters are impl-independent.
+    # The Pallas paths require the mask to be a length (interval) mask,
+    # which every caller in this codebase constructs.
     impl: Optional[str] = None
     # Storage dtype of the hoisted (T, 2, B, 4H) gate projections the
     # backward pass re-reads: "f32" (exact) or "compute" (store in
@@ -185,6 +188,17 @@ class BLSTM(nn.Module):
             lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
             ys = blstm_infer(x, lengths, wx, wh, bias)  # (B, T, 2H)
             return ys.astype(self.dtype)
+        if impl == "fused":
+            from robust_e2e_gan_tpu.ops.blstm_train_pallas import (
+                blstm_train, fused_train_fits,
+            )
+
+            if fused_train_fits(b, t, d, h, jnp.dtype(self.dtype).itemsize):
+                lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+                ys = blstm_train(x, lengths, wx, wh, bias)
+                return ys.astype(self.dtype)
+            # layer too large for the fused-train VMEM budget (e.g. the
+            # encoder's VGG-output layer): fall through to the scan path
 
         xs = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, D)
         ms = jnp.stack([mask, jnp.flip(mask, axis=1)])  # (2, B, T)

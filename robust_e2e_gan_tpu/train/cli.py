@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "projections — 'compute' halves the backward's "
                         "dominant HBM residual under --compute-dtype "
                         "bfloat16 (v5e numbers in BASELINE.md)")
+    p.add_argument("--lstm-impl", choices=("scan", "fused"),
+                   default="scan",
+                   help="BLSTM frame-loop impl for TRAINING: 'fused' uses "
+                        "the differentiable Pallas forward+backward "
+                        "kernels (ops/blstm_train_pallas.py) on layers "
+                        "that fit the VMEM budget, scan elsewhere")
     p.add_argument("--cmvn",
                    choices=("utterance", "global", "speaker", "none"),
                    default="utterance")
@@ -146,6 +152,7 @@ def configs_from_args(args, vocab_size: int):
                 hidden_dim=args.enc_hidden, proj_dim=args.enc_proj,
                 remat=args.remat, scan_unroll=args.scan_unroll,
                 gate_storage=args.gate_storage,
+                lstm_impl=args.lstm_impl,
             ),
             attention=AttentionConfig(dim=args.att_dim),
             decoder=DecoderConfig(
@@ -159,6 +166,7 @@ def configs_from_args(args, vocab_size: int):
             num_layers=args.enh_layers, hidden_dim=args.enh_hidden,
             remat=args.remat, scan_unroll=args.scan_unroll,
             gate_storage=args.gate_storage,
+            lstm_impl=args.lstm_impl,
         ),
         discriminator=DiscriminatorConfig(input_dim=args.n_mels),
         lambda_adv=args.lambda_adv,
