@@ -31,6 +31,13 @@ CASES = [
     ("encoder_l2plus", 128, 172, 1024, 512),
 ]
 
+TRAIN_CASES = [
+    # (name, B, T, D, H) at flagship TRAIN shapes (B=32, ~2.9 s utts)
+    ("enhancer", 32, 290, 257, 512),
+    ("enhancer_l2", 32, 290, 1024, 512),
+    ("encoder_l2plus", 32, 72, 512, 512),
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -67,6 +74,36 @@ def main():
         out[name] = row
         print(f"{name}: scan {row['scan']} ms, tiled {row['tiled']} ms "
               f"({row['speedup']}x)")
+
+    # ---- training (fwd+bwd) per-layer: scan vs fused custom-VJP ----
+    for name, b, t, d, h in TRAIN_CASES:
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        lens = jnp.asarray(
+            rng.integers(t // 2, t + 1, size=b).astype(np.int32)
+        )
+        mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(jnp.float32)
+        row = {}
+        for impl in ("scan", "fused"):
+            m = BLSTM(h, dtype=jnp.bfloat16, impl=impl)
+            params = m.init(jax.random.PRNGKey(0), x, mask)
+
+            def loss(p, x, m=m):
+                return jnp.sum(m.apply(p, x, mask).astype(jnp.float32))
+
+            g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+            v, _ = g(params, x)
+            v.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                v, _ = g(params, x)
+            np.asarray(v)  # hard host sync
+            row[impl] = round(
+                (time.perf_counter() - t0) / args.iters * 1e3, 2
+            )
+        row["speedup"] = round(row["scan"] / row["fused"], 2)
+        out[f"train/{name}"] = row
+        print(f"train/{name}: scan {row['scan']} ms, fused "
+              f"{row['fused']} ms ({row['speedup']}x)")
     os.makedirs("results", exist_ok=True)
     with open("results/blstm_kernel.json", "w") as fh:
         json.dump(out, fh, indent=2)

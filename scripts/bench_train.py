@@ -42,11 +42,24 @@ B = 32
 VOCAB = 52
 
 
-def time_step(compute_dtype: str, unroll: int):
+def time_step(compute_dtype: str, unroll: int, lstm_impl: str = "scan"):
     rnn_lib.DEFAULT_UNROLL = unroll
     jcfg = dataclasses.replace(
         _flagship_config(VOCAB), compute_dtype=compute_dtype
     )
+    if lstm_impl != "scan":
+        jcfg = dataclasses.replace(
+            jcfg,
+            e2e=dataclasses.replace(
+                jcfg.e2e,
+                encoder=dataclasses.replace(
+                    jcfg.e2e.encoder, lstm_impl=lstm_impl
+                ),
+            ),
+            enhancer=dataclasses.replace(
+                jcfg.enhancer, lstm_impl=lstm_impl
+            ),
+        )
     model = build_model(jcfg)
     disc = Discriminator(jcfg.discriminator)
     tcfg = TrainConfig(optimizer="adadelta")
@@ -77,28 +90,33 @@ def time_step(compute_dtype: str, unroll: int):
 def main():
     results = {}
     base_first = None
-    for dtype in ("float32", "bfloat16"):
-        for unroll in (1, 2, 4):
-            key = f"{dtype}/unroll{unroll}"
-            try:
-                ms, first = time_step(dtype, unroll)
-            except Exception as e:  # transient tunnel/backend errors
-                results[key] = {"error": str(e)[:120]}
-                print(key, "FAILED:", str(e)[:120], flush=True)
-                continue
-            results[key] = {
-                "ms_per_step": round(ms, 1),
-                "utt_per_s": round(B * 1000 / ms, 1),
-            }
-            print(key, results[key], flush=True)
-            if dtype == "float32" and unroll == 1:
-                base_first = first
-            elif base_first is not None:
-                # parity gate: first-step losses within tolerance of f32
-                rel = abs(first["loss_g"] - base_first["loss_g"]) / max(
-                    abs(base_first["loss_g"]), 1e-9
-                )
-                results[key]["first_step_lossG_rel_diff"] = round(rel, 4)
+    cases = [(d, u, "scan") for d in ("float32", "bfloat16")
+             for u in (1, 2, 4)]
+    # fused custom-VJP Pallas BLSTM (ops/blstm_train_pallas.py); the
+    # frame loop lives in the kernel, so scan unroll is irrelevant
+    cases += [("float32", 1, "fused"), ("bfloat16", 1, "fused")]
+    for dtype, unroll, impl in cases:
+        key = f"{dtype}/unroll{unroll}" + ("/fused" if impl != "scan"
+                                           else "")
+        try:
+            ms, first = time_step(dtype, unroll, impl)
+        except Exception as e:  # transient tunnel/backend errors
+            results[key] = {"error": str(e)[:120]}
+            print(key, "FAILED:", str(e)[:120], flush=True)
+            continue
+        results[key] = {
+            "ms_per_step": round(ms, 1),
+            "utt_per_s": round(B * 1000 / ms, 1),
+        }
+        print(key, results[key], flush=True)
+        if dtype == "float32" and unroll == 1 and impl == "scan":
+            base_first = first
+        elif base_first is not None:
+            # parity gate: first-step losses within tolerance of f32
+            rel = abs(first["loss_g"] - base_first["loss_g"]) / max(
+                abs(base_first["loss_g"]), 1e-9
+            )
+            results[key]["first_step_lossG_rel_diff"] = round(rel, 4)
     print(json.dumps(results))
 
 
