@@ -430,10 +430,16 @@ def beam_search_from_encoder(
                 from robust_e2e_gan_tpu.ops.ctc_prefix_tiled import (
                     prefix_psi_tiled,
                 )
-
-                psi = prefix_psi_tiled(
-                    lpz, last_tok, lengths, r_n, r_b, blank, eos
+                from robust_e2e_gan_tpu.parallel.sharding import (
+                    sharded_kernel_call,
                 )
+
+                psi = sharded_kernel_call(
+                    lambda z, lt, ln, rn, rb: prefix_psi_tiled(
+                        z, lt, ln, rn, rb, blank, eos
+                    ),
+                    lpz.shape[0], (True,) * 5,
+                )(lpz, last_tok, lengths, r_n, r_b)
             else:
                 psi = batched_prefix_psi(
                     lpz, last_tok, lengths, r_n, r_b, blank, eos
@@ -518,10 +524,16 @@ def beam_search_from_encoder(
                 from robust_e2e_gan_tpu.ops.ctc_prefix_tiled import (
                     prefix_state_tiled,
                 )
-
-                rn_sel, rb_sel = prefix_state_tiled(
-                    lpz, tok, last_par, len_par, rn_par, rb_par, blank
+                from robust_e2e_gan_tpu.parallel.sharding import (
+                    sharded_kernel_call,
                 )
+
+                rn_sel, rb_sel = sharded_kernel_call(
+                    lambda z, tk, lt, ln, rn, rb: prefix_state_tiled(
+                        z, tk, lt, ln, rn, rb, blank
+                    ),
+                    lpz.shape[0], (True,) * 6, out_batched=(True, True),
+                )(lpz, tok, last_par, len_par, rn_par, rb_par)
             else:
                 rn_sel, rb_sel = prefix_state_for_token(
                     lpz, tok, last_par, len_par, rn_par, rb_par, blank

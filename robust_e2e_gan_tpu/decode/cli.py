@@ -308,6 +308,12 @@ def main(argv: Optional[list] = None) -> None:
         from robust_e2e_gan_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.mesh_data, 1)
+        from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
+
+        # Pallas kernel call sites (BLSTM/attention/CTC-prefix/fbank)
+        # shard_map over this mesh — XLA cannot partition a pallas_call
+        # and would otherwise all-gather every sharded batch
+        set_kernel_mesh(mesh)
         print(f"data-parallel decode over {args.mesh_data} devices")
 
     def to_device(arrs):

@@ -99,7 +99,12 @@ class AttLoc(nn.Module):
             # location projection never touches HBM. The kernels are read
             # through the same submodules (identity-matrix applies return
             # them), so the parameter tree matches the XLA path exactly.
-            from robust_e2e_gan_tpu.ops.att_pallas import att_loc_fused
+            from robust_e2e_gan_tpu.ops.att_pallas import (
+                att_loc_fused, att_loc_plan,
+            )
+            from robust_e2e_gan_tpu.parallel.sharding import (
+                current_kernel_mesh, sharded_kernel_call,
+            )
 
             b, k, t = att_prev.shape
             c = self.cfg.conv_channels
@@ -107,12 +112,30 @@ class AttLoc(nn.Module):
             g = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(
                 jnp.eye(a, dtype=self.dtype)
             )[:, 0]
-            out = att_loc_fused(
-                loc.reshape(b, k, t, c), enc_proj, enc, dec, wloc, g,
-                mask, self.cfg.sharpening,
-            )
-            if out is not None:
-                ctx_f, att_f = out
+            # budget-plan on the PER-SHARD batch when a data mesh is
+            # registered (the kernel then runs inside shard_map — XLA
+            # cannot partition a pallas_call and would all-gather)
+            km = current_kernel_mesh()
+            shards = int(km[0].shape[km[1]]) if km else 1
+            local_b = b // shards if shards > 1 and b % shards == 0 else b
+            e_dim = enc.shape[-1]
+            if att_loc_plan(local_b, k, t, c, a, e_dim, enc.dtype) is not None:
+                sharp = self.cfg.sharpening
+
+                def _fused(feat, ep, en, de, wl, gv, mk):
+                    out = att_loc_fused(feat, ep, en, de, wl, gv, mk, sharp)
+                    assert out is not None  # per-shard plan checked above
+                    return out
+
+                call = sharded_kernel_call(
+                    _fused, b,
+                    (True, True, True, True, False, False, True),
+                    out_batched=(True, True),
+                )
+                ctx_f, att_f = call(
+                    loc.reshape(b, k, t, c), enc_proj, enc, dec, wloc, g,
+                    mask,
+                )
                 return ctx_f.astype(enc.dtype), att_f.astype(att_prev.dtype)
             # shapes outside the kernel's budget: fall through to XLA,
             # scoring through the already-declared gvec submodule

@@ -184,18 +184,37 @@ class BLSTM(nn.Module):
             impl = "tiled" if jax.default_backend() == "tpu" else "scan"
         if impl == "tiled":
             from robust_e2e_gan_tpu.ops.blstm_pallas import blstm_infer
+            from robust_e2e_gan_tpu.parallel.sharding import (
+                sharded_kernel_call,
+            )
 
             lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
-            ys = blstm_infer(x, lengths, wx, wh, bias)  # (B, T, 2H)
+            # under a data mesh, run the kernel per-shard (shard_map);
+            # XLA cannot partition a pallas_call and would all-gather
+            call = sharded_kernel_call(
+                blstm_infer, b, (True, True, False, False, False)
+            )
+            ys = call(x, lengths, wx, wh, bias)  # (B, T, 2H)
             return ys.astype(self.dtype)
         if impl == "fused":
             from robust_e2e_gan_tpu.ops.blstm_train_pallas import (
                 blstm_train, fused_train_fits,
             )
+            from robust_e2e_gan_tpu.parallel.sharding import (
+                current_kernel_mesh, sharded_kernel_call,
+            )
 
-            if fused_train_fits(b, t, d, h, jnp.dtype(self.dtype).itemsize):
+            km = current_kernel_mesh()
+            shards = int(km[0].shape[km[1]]) if km else 1
+            local_b = b // shards if shards > 1 and b % shards == 0 else b
+            if fused_train_fits(
+                local_b, t, d, h, jnp.dtype(self.dtype).itemsize
+            ):
                 lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
-                ys = blstm_train(x, lengths, wx, wh, bias)
+                call = sharded_kernel_call(
+                    blstm_train, b, (True, True, False, False, False)
+                )
+                ys = call(x, lengths, wx, wh, bias)
                 return ys.astype(self.dtype)
             # layer too large for the fused-train VMEM budget (e.g. the
             # encoder's VGG-output layer): fall through to the scan path

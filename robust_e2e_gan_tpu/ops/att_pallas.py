@@ -125,6 +125,36 @@ def _kernel(bb: int, k: int, tp: int, cp: int, a: int, e: int, sharpening: float
     return kernel
 
 
+def att_loc_plan(b, k, t, c, a, e, cdtype, block_b=None):
+    """Pick the utterance tile (block_b) for these shapes, or None when
+    they exceed this kernel's working-set budget (caller uses XLA)."""
+    tp = _round_up(max(t, 128), 128)
+    ap = _round_up(a, 128)
+    ep_ = _round_up(e, 128)
+    cp = _round_up(c, 8)
+    ktp = k * tp
+    if cp + k > 128:
+        return None
+    itemsize = jnp.dtype(cdtype).itemsize
+    if block_b is not None:
+        bb = block_b
+    else:
+        # v5e-swept utterance tile (scripts/bench_att.py): 8 beats 4/16 at
+        # bench shapes; shrink only to divide small batches
+        bb = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
+    # working set: blocks + scratch
+    vmem = (
+        bb * (cp * ktp + ap * tp + tp * ep_ + ap * k) * itemsize  # inputs
+        + bb * 1 * ktp * 4  # tval
+        + bb * (k * ep_ + k * tp) * 4  # outputs
+        + (ap * 128 + 128 * ktp + ap * ktp) * itemsize  # lhs/rhs/work
+        + (k * tp + ktp * k + k * ktp) * 4  # att2d/st/s
+    )
+    if vmem > _VMEM_BUDGET:
+        return None
+    return bb
+
+
 def att_loc_fused(
     feat: jnp.ndarray,
     enc_proj: jnp.ndarray,
@@ -158,30 +188,15 @@ def att_loc_fused(
     e = enc.shape[-1]
     cdtype = enc.dtype
 
+    bb = att_loc_plan(b, k, t, c, a, e, cdtype, block_b)
+    if bb is None:
+        return None
+    itemsize = jnp.dtype(cdtype).itemsize
     tp = _round_up(max(t, 128), 128)
     ap = _round_up(a, 128)
     ep_ = _round_up(e, 128)
     cp = _round_up(c, 8)
     ktp = k * tp
-    if cp + k > 128:
-        return None
-    itemsize = jnp.dtype(cdtype).itemsize
-    if block_b is not None:
-        bb = block_b
-    else:
-        # v5e-swept utterance tile (scripts/bench_att.py): 8 beats 4/16 at
-        # bench shapes; shrink only to divide small batches
-        bb = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
-    # working set: blocks + scratch
-    vmem = (
-        bb * (cp * ktp + ap * tp + tp * ep_ + ap * k) * itemsize  # inputs
-        + bb * 1 * ktp * 4  # tval
-        + bb * (k * ep_ + k * tp) * 4  # outputs
-        + (ap * 128 + 128 * ktp + ap * ktp) * itemsize  # lhs/rhs/work
-        + (k * tp + ktp * k + k * ktp) * 4  # att2d/st/s
-    )
-    if vmem > _VMEM_BUDGET:
-        return None
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

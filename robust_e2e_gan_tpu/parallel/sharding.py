@@ -171,3 +171,80 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     if global_batch % n:
         raise ValueError(f"global batch {global_batch} % data axis {n} != 0")
     return global_batch // n
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels under a mesh: shard_map at the kernel boundary
+# --------------------------------------------------------------------------
+#
+# XLA's auto-sharding cannot partition a pallas_call (an opaque custom
+# call): under a data mesh it ALL-GATHERS the sharded batch onto every
+# device, runs the kernel replicated, then re-shards — measured as 6
+# all-gathers per BLSTM layer on the 8-way CPU mesh. The fix is the
+# scaling-book-idiomatic one: run the kernel inside jax.shard_map over the
+# data axis, so each device executes it on its own batch shard and the
+# surrounding jitted program keeps its auto-sharded semantics (replicated
+# weights transpose to a psum of per-shard cotangents, which IS the DP
+# gradient all-reduce).
+#
+# Kernel call sites (models/rnn.py, decode/beam.py, ...) cannot see the
+# mesh through their module configs, so the mesh is ambient: CLIs and
+# steps that build a data mesh register it here, and sharded_kernel_call
+# wraps a kernel invocation when (a) a mesh is registered, (b) the data
+# axis has >1 devices, and (c) the batch divides evenly. Otherwise the
+# call runs unwrapped (single-device semantics, still correct).
+
+_KERNEL_MESH: Optional[Tuple[Mesh, str]] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh], axis: str = DATA_AXIS) -> None:
+    """Register (or clear, with None) the ambient kernel mesh."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = None if mesh is None else (mesh, axis)
+
+
+def current_kernel_mesh() -> Optional[Tuple[Mesh, str]]:
+    return _KERNEL_MESH
+
+
+class kernel_mesh:
+    """Context manager form of set_kernel_mesh (used by tests)."""
+
+    def __init__(self, mesh: Optional[Mesh], axis: str = DATA_AXIS):
+        self.arg = (mesh, axis)
+
+    def __enter__(self):
+        global _KERNEL_MESH
+        self.prev = _KERNEL_MESH
+        set_kernel_mesh(*self.arg)
+
+    def __exit__(self, *exc):
+        global _KERNEL_MESH
+        _KERNEL_MESH = self.prev
+
+
+def sharded_kernel_call(fn, batch_size: int, in_batched, out_batched=True):
+    """Wrap a kernel-calling fn in shard_map over the ambient data mesh.
+
+    in_batched: bool per positional argument — True shards dim 0 on the
+    data axis, False replicates. out_batched likewise for outputs (a bool
+    or a tuple matching the output structure). Returns fn unchanged when
+    no mesh is registered, the axis is trivial, or batch_size does not
+    divide over it.
+    """
+    km = _KERNEL_MESH
+    if km is None:
+        return fn
+    mesh, axis = km
+    n = int(mesh.shape[axis])
+    if n <= 1 or batch_size % n:
+        return fn
+    in_specs = tuple(P(axis) if b else P() for b in in_batched)
+    if isinstance(out_batched, bool):
+        out_specs = P(axis) if out_batched else P()
+    else:
+        out_specs = tuple(P(axis) if b else P() for b in out_batched)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )

@@ -162,10 +162,15 @@ class RobustE2E(nn.Module):
             from robust_e2e_gan_tpu.ops.fbank_pallas import (
                 fbank_fused_trainable,
             )
-
-            feats, fmask = fbank_fused_trainable(
-                wav, self.cfg.e2e.frontend, wav_lengths=wav_lengths
+            from robust_e2e_gan_tpu.parallel.sharding import (
+                sharded_kernel_call,
             )
+
+            fe = self.cfg.e2e.frontend
+            feats, fmask = sharded_kernel_call(
+                lambda w, l: fbank_fused_trainable(w, fe, wav_lengths=l),
+                wav.shape[0], (True, True), out_batched=(True, True),
+            )(wav, wav_lengths)
         else:
             power, fmask = self.noisy_power(wav, wav_lengths)
             if use_enhancer:
@@ -349,10 +354,15 @@ class RobustE2E(nn.Module):
         the batched beam search needs, in one jitted call."""
         if self._use_fused_frontend(use_enhancer):
             from robust_e2e_gan_tpu.ops.fbank_pallas import fbank_fused
-
-            feats, fmask = fbank_fused(
-                wav, self.cfg.e2e.frontend, wav_lengths=wav_lengths
+            from robust_e2e_gan_tpu.parallel.sharding import (
+                sharded_kernel_call,
             )
+
+            fe = self.cfg.e2e.frontend
+            feats, fmask = sharded_kernel_call(
+                lambda w, l: fbank_fused(w, fe, wav_lengths=l),
+                wav.shape[0], (True, True), out_batched=(True, True),
+            )(wav, wav_lengths)
         else:
             power, fmask = self.noisy_power(wav, wav_lengths)
             if use_enhancer:

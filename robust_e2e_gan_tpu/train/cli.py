@@ -395,8 +395,12 @@ def main(argv: Optional[list] = None) -> None:
     mesh = None
     if args.mesh_data > 1:
         from robust_e2e_gan_tpu.parallel import make_mesh
+        from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
 
         mesh = make_mesh(args.mesh_data, 1)
+        # Pallas kernel call sites shard_map over this mesh (XLA cannot
+        # partition a pallas_call and would otherwise all-gather)
+        set_kernel_mesh(mesh)
 
     from robust_e2e_gan_tpu.train.loop import train
 

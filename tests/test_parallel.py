@@ -170,3 +170,115 @@ def test_dp_tp_matches_single_device():
             np.asarray(m1[k]), np.asarray(m2[k]), rtol=5e-4, atol=5e-5,
             err_msg=f"metric {k} diverged between 1-device and (4,2) DP+TP",
         )
+
+
+def test_kernel_mesh_blstm_no_gather_and_grad_parity():
+    """Pallas BLSTM impls under a data mesh: with the ambient kernel mesh
+    registered, the kernels run per-shard inside shard_map — the compiled
+    program contains NO all-gather (XLA cannot partition a pallas_call and
+    would otherwise gather the sharded batch onto every device), values
+    match scan, and fused-impl gradients equal the single-device ones (the
+    replicated-weight cotangent psum IS the DP grad all-reduce)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from robust_e2e_gan_tpu.models.rnn import BLSTM
+    from robust_e2e_gan_tpu.parallel.sharding import kernel_mesh
+
+    b, t, d, h = 16, 12, 24, 96
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(1, t + 1, size=b).astype(np.int32))
+    mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(jnp.float32)
+    r = jnp.asarray(rng.standard_normal((b, t, 2 * h)).astype(np.float32))
+
+    mesh = make_mesh(8, 1)
+    xsh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    msh = jax.device_put(mask, NamedSharding(mesh, P("data")))
+
+    m_scan = BLSTM(h, impl="scan")
+    params = m_scan.init(jax.random.PRNGKey(0), x, mask)
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    y_ref = m_scan.apply(params, x, mask)
+
+    with kernel_mesh(mesh):
+        for impl in ("tiled", "fused"):
+            m = BLSTM(h, impl=impl)
+            f = jax.jit(lambda p, xx, mk, m=m: m.apply(p, xx, mk))
+            txt = f.lower(params_r, xsh, msh).compile().as_text()
+            assert txt.count("all-gather") == 0, impl
+            y = f(params_r, xsh, msh)
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(y_ref), rtol=0, atol=2e-5
+            )
+
+        m_f = BLSTM(h, impl="fused")
+
+        def loss(p, xx, mk):
+            return jnp.sum(m_f.apply(p, xx, mk).astype(jnp.float32) * r)
+
+        g = jax.jit(jax.grad(loss))
+        txt = g.lower(params_r, xsh, msh).compile().as_text()
+        assert txt.count("all-gather") == 0
+        # exactly the replicated-weight cotangent reductions remain
+        assert txt.count("all-reduce") >= 1
+        gv = g(params_r, xsh, msh)
+
+    def loss_scan(p):
+        return jnp.sum(m_scan.apply(p, x, mask).astype(jnp.float32) * r)
+
+    g0 = jax.grad(loss_scan)(params)
+    for a, bb_ in zip(jax.tree_util.tree_leaves(gv),
+                      jax.tree_util.tree_leaves(g0)):
+        scale = np.abs(np.asarray(bb_)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(bb_) / scale,
+            rtol=0, atol=1e-5,
+        )
+
+
+def test_kernel_mesh_beam_decode_pallas_impls_match():
+    """Full batched beam search with the Pallas serving impls (tiled CTC
+    prefix + fused attention step) sharded 8-way under the ambient kernel
+    mesh == the same search unsharded: token-exact, no all-gather."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.config import BeamSearchConfig
+    from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
+    from robust_e2e_gan_tpu.parallel import replicated
+    from robust_e2e_gan_tpu.parallel.sharding import kernel_mesh
+
+    jcfg = dataclasses.replace(
+        JCFG,
+        e2e=dataclasses.replace(
+            JCFG.e2e,
+            attention=dataclasses.replace(
+                JCFG.e2e.attention, score_impl="fused"
+            ),
+        ),
+    )
+    model = RobustE2E(jcfg)
+    rng = np.random.default_rng(3)
+    batch = make_batch(8, SCFG, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(1), wav[:2], lens[:2],
+        jnp.asarray(batch["labels"][:2]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    bcfg = BeamSearchConfig(
+        beam_size=4, ctc_weight=0.3, max_steps=6, prefix_impl="tiled"
+    )
+    searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=True)
+
+    res1 = searcher(params, wav, lens)
+
+    mesh = make_mesh(8, 1)
+    sharded = shard_batch({"w": wav, "l": lens}, mesh)
+    params_r = jax.device_put(params, replicated(mesh))
+    with kernel_mesh(mesh):
+        res8 = searcher(params_r, sharded["w"], sharded["l"])
+
+    np.testing.assert_array_equal(
+        np.asarray(res1.tokens), np.asarray(res8.tokens)
+    )
