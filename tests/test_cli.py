@@ -489,3 +489,43 @@ def test_compute_cmvn_cli(manifest, tmp_path):
         "--cmvn", "global", "--cmvn-ark", out_wav,
     ])
     assert os.path.exists(os.path.join(ckpt, "cmvn.ark"))
+
+
+def test_score_cli_and_unified_entry(tmp_path, capsys):
+    """score_cli (Kaldi compute-wer parity): known error counts from
+    handcrafted ref/hyp; intersection semantics; the unified
+    `python -m robust_e2e_gan_tpu` entry dispatches to it."""
+    from robust_e2e_gan_tpu.decode import score_cli
+
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    # u1: 1 sub of 3 words; u2: 1 del; u3: 1 ins; u4 missing from hyp
+    ref.write_text(
+        "u1 the cat sat\nu2 a b c\nu3 x y\nu4 only ref\n"
+    )
+    hyp.write_text(
+        "u1 the dog sat\nu2 a c\nu3 x z y\nu5 only hyp\n"
+    )
+    out = tmp_path / "report.json"
+    score_cli.main(["--ref", str(ref), "--hyp", str(hyp),
+                    "--out", str(out), "--per-utt"])
+    rep = json.loads(out.read_text())
+    assert rep["n_utts"] == 3
+    assert rep["n_missing_hyp"] == 1 and rep["n_extra_hyp"] == 1
+    w = rep["wer"]
+    assert w["errors"] == 3 and w["ref_tokens"] == 8
+    assert w["sub"] == 1 and w["del"] == 1 and w["ins"] == 1
+    assert len(rep["per_utt"]) == 3
+    text = capsys.readouterr().out
+    assert "%WER 37.50" in text
+
+    with pytest.raises(SystemExit):
+        score_cli.main(["--ref", str(ref), "--hyp", str(hyp), "--strict"])
+
+    # unified entry dispatch
+    from robust_e2e_gan_tpu.__main__ import main as pkg_main
+
+    pkg_main(["score", "--ref", str(ref), "--hyp", str(hyp)])
+    assert "%WER" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        pkg_main(["nonsense"])
