@@ -26,7 +26,7 @@ import queue
 import threading
 import warnings
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -151,6 +151,46 @@ def _close_probes() -> None:
     _probe_files.clear()
 
 
+def _scp_fingerprint(scp_path: str) -> Dict[str, Any]:
+    st = os.stat(scp_path)
+    return {
+        "scp": os.path.abspath(scp_path),
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+    }
+
+
+def _load_length_cache(
+    scp_path: str, cache_path: Optional[str]
+) -> Dict[str, int]:
+    """Lengths from an on-disk index cache, iff it matches the scp's
+    current fingerprint (path/size/mtime). Stale or missing -> {}."""
+    if not cache_path or not os.path.exists(cache_path):
+        return {}
+    try:
+        with open(cache_path) as f:
+            d = json.load(f)
+        if d.get("fingerprint") == _scp_fingerprint(scp_path):
+            return {k: int(v) for k, v in d["lengths"].items()}
+    except (OSError, ValueError, KeyError):
+        pass
+    return {}
+
+
+def _write_length_cache(
+    scp_path: str, cache_path: Optional[str], lengths: Dict[str, int]
+) -> None:
+    if not cache_path:
+        return
+    tmp = cache_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"fingerprint": _scp_fingerprint(scp_path),
+             "lengths": lengths}, f
+        )
+    os.replace(tmp, cache_path)
+
+
 class AudioTextDataset:
     """Paired (noisy, clean, transcript) utterances from disk."""
 
@@ -198,6 +238,7 @@ class AudioTextDataset:
         clean_scp: Optional[str] = None,
         tokenizer: Optional[CharTokenizer] = None,
         lengths_path: Optional[str] = None,
+        index_cache: Optional[str] = None,
     ) -> "AudioTextDataset":
         """Kaldi-format source: scp files of waveform vectors + `text`.
 
@@ -207,25 +248,36 @@ class AudioTextDataset:
         Lengths come from ``lengths_path`` (a Kaldi-style ``<utt> <n>`` map
         of sample counts, e.g. utt2num_samples) when given, else from an
         O(header) probe of each blob — never a full matrix read, so index
-        construction is O(entries) (SURVEY.md call stack 3.5).
+        construction is O(entries) (SURVEY.md call stack 3.5). With
+        ``index_cache``, probed lengths are persisted to that path and
+        reloaded on rebuild while the scp's size/mtime fingerprint
+        matches, making repeat startups O(one file read).
         """
         noisy_idx = kaldi_io.read_scp_index(noisy_scp)
         clean_idx = kaldi_io.read_scp_index(clean_scp) if clean_scp else {}
         texts = _read_kv_file(text_path)
         lengths = _read_len_file(lengths_path) if lengths_path else {}
+        cached = _load_length_cache(noisy_scp, index_cache)
+        probed: Dict[str, int] = {}
         utts = []
         for key, (ark, off) in noisy_idx.items():
             if key not in texts:
                 continue
             n = lengths.get(key)
             if n is None:
+                n = cached.get(key)
+            if n is None:
                 r, c = _probe_shape(ark, off)
-                n = r * c
+                n = probed[key] = r * c
             utts.append(Utterance(
                 utt_id=key, text=texts[key], n_samples=n,
                 noisy_ark=(ark, off), clean_ark=clean_idx.get(key),
             ))
         _close_probes()
+        if probed:
+            _write_length_cache(
+                noisy_scp, index_cache, {**cached, **probed}
+            )
         if tokenizer is None:
             tokenizer = CharTokenizer.from_texts([u.text for u in utts])
         return cls(utts, tokenizer)
@@ -238,6 +290,7 @@ class AudioTextDataset:
         tokenizer: Optional[CharTokenizer] = None,
         utt2num_frames: Optional[str] = None,
         clean_scp: Optional[str] = None,
+        index_cache: Optional[str] = None,
     ) -> "AudioTextDataset":
         """Kaldi PRECOMPUTED-features source: feats.scp of (T, D) matrices.
 
@@ -260,18 +313,26 @@ class AudioTextDataset:
         clean_idx = kaldi_io.read_scp_index(clean_scp) if clean_scp else {}
         texts = _read_kv_file(text_path)
         frames = _read_len_file(utt2num_frames) if utt2num_frames else {}
+        cached = _load_length_cache(feats_scp, index_cache)
+        probed: Dict[str, int] = {}
         utts = []
         for key, (ark, off) in idx.items():
             if key not in texts:
                 continue
             t = frames.get(key)
             if t is None:
-                t = _probe_shape(ark, off)[0]
+                t = cached.get(key)
+            if t is None:
+                t = probed[key] = _probe_shape(ark, off)[0]
             utts.append(Utterance(
                 utt_id=key, text=texts[key], n_samples=t,
                 feats_ark=(ark, off), clean_feats_ark=clean_idx.get(key),
             ))
         _close_probes()
+        if probed:
+            _write_length_cache(
+                feats_scp, index_cache, {**cached, **probed}
+            )
         if tokenizer is None:
             tokenizer = CharTokenizer.from_texts([u.text for u in utts])
         return cls(utts, tokenizer)

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--text); requires an experiment trained with "
                         "--train-feats-scp. --length-buckets are frames.")
     p.add_argument("--text", help="Kaldi text file (with --noisy-scp)")
+    p.add_argument("--index-cache",
+                   help="persist probed utterance lengths here (reused "
+                        "while the scp fingerprint matches)")
     p.add_argument("--utt2num-frames",
                    help="Kaldi utt2num_frames map for --feats-scp (skips "
                         "the header probe at index build)")
@@ -205,10 +208,12 @@ def main(argv: Optional[list] = None) -> None:
         ds = AudioTextDataset.from_kaldi_feats(
             args.feats_scp, args.text, tokenizer=tok,
             utt2num_frames=args.utt2num_frames,
+            index_cache=args.index_cache,
         )
     elif args.noisy_scp and args.text:
         ds = AudioTextDataset.from_kaldi(args.noisy_scp, args.text,
-                                         tokenizer=tok)
+                                         tokenizer=tok,
+                                         index_cache=args.index_cache)
     else:
         raise SystemExit(
             "need --manifest, --noisy-scp/--text, or --feats-scp/--text"

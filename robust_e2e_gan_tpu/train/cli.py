@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--train-text; --mode asr only — the enhancer needs "
                         "waveforms). --length-buckets are then frame counts.")
     p.add_argument("--train-text")
+    p.add_argument("--index-cache",
+                   help="persist probed utterance lengths to this path; "
+                        "reused while the scp fingerprint matches, making "
+                        "repeat dataset builds O(one file read)")
     p.add_argument("--utt2num-frames",
                    help="Kaldi utt2num_frames map; skips even the header "
                         "probe when building the feats.scp index")
@@ -228,10 +232,12 @@ def _corpus_factories(args):
             args.train_feats_scp, args.train_text,
             utt2num_frames=args.utt2num_frames,
             clean_scp=args.train_clean_feats_scp,
+            index_cache=args.index_cache,
         )
     elif args.train_noisy_scp and args.train_text:
         train_ds = AudioTextDataset.from_kaldi(
-            args.train_noisy_scp, args.train_text, args.train_clean_scp
+            args.train_noisy_scp, args.train_text, args.train_clean_scp,
+            index_cache=args.index_cache,
         )
     else:
         raise SystemExit(

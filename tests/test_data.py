@@ -419,3 +419,52 @@ def test_prefetcher_close(tmp_path, rng):
     assert n == len(batcher)
     pf2.t.join(timeout=5.0)
     assert not pf2.t.is_alive()
+
+
+def test_dataset_index_cache(tmp_path, rng, monkeypatch):
+    """index_cache: first build probes headers and persists the lengths;
+    a rebuild reads NO blob headers; modifying the scp invalidates it."""
+    import os
+    import time
+
+    feats = {f"u{i}": rng.standard_normal((30 + i, 8)).astype(np.float32)
+             for i in range(5)}
+    ft_ark, ft_scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    kaldi_io.write_ark_scp(iter(feats.items()), ft_ark, ft_scp)
+    text = str(tmp_path / "text")
+    with open(text, "w") as f:
+        f.write("\n".join(f"u{i} hi{i}" for i in range(5)))
+    cache = str(tmp_path / "f.idx.json")
+
+    ds = AudioTextDataset.from_kaldi_feats(ft_scp, text, index_cache=cache)
+    lengths1 = {u.utt_id: u.n_samples for u in ds.utts}
+    assert os.path.exists(cache)
+
+    def banned(*a, **k):
+        raise AssertionError("header probe despite a valid index cache")
+
+    monkeypatch.setattr(kaldi_io, "read_shape", banned)
+    ds2 = AudioTextDataset.from_kaldi_feats(ft_scp, text, index_cache=cache)
+    assert {u.utt_id: u.n_samples for u in ds2.utts} == lengths1
+    monkeypatch.undo()
+
+    # stale cache: rewriting the scp (new mtime/size) forces re-probe
+    time.sleep(0.01)
+    feats["u5"] = rng.standard_normal((99, 8)).astype(np.float32)
+    kaldi_io.write_ark_scp(iter(feats.items()), ft_ark, ft_scp)
+    with open(text, "a") as f:
+        f.write("\nu5 hi5")
+    ds3 = AudioTextDataset.from_kaldi_feats(ft_scp, text, index_cache=cache)
+    assert {u.utt_id: u.n_samples for u in ds3.utts}["u5"] == 99
+
+    # wav variant caches sample counts the same way
+    wavs = {f"u{i}": rng.standard_normal(1000 + i).astype(np.float32)
+            for i in range(4)}
+    w_ark, w_scp = str(tmp_path / "w.ark"), str(tmp_path / "w.scp")
+    kaldi_io.write_ark_scp(iter(wavs.items()), w_ark, w_scp)
+    wcache = str(tmp_path / "w.idx.json")
+    AudioTextDataset.from_kaldi(w_scp, text, index_cache=wcache)
+    monkeypatch.setattr(kaldi_io, "read_shape", banned)
+    dsw = AudioTextDataset.from_kaldi(w_scp, text, index_cache=wcache)
+    assert sorted(u.n_samples for u in dsw.utts) == [1000 + i
+                                                     for i in range(4)]
