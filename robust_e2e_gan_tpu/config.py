@@ -114,6 +114,13 @@ class DecoderConfig:
     dropout_rate: float = 0.0
     label_smoothing: float = 0.0
     sampling_probability: float = 0.0  # scheduled sampling
+    # Beam-mode step implementation: "xla" (reference-exact), "fused"
+    # (ops/att_pallas.py att_dec_step_fused — attention + embedding +
+    # LSTM cell + readout in ONE Mosaic program; requires num_layers=1,
+    # vocab <= 128 and the location attention variant), "auto" (fused on
+    # TPU when those hold, xla elsewhere). Training and the non-beam
+    # step always use the XLA path; parameters are impl-independent.
+    step_impl: str = "auto"
 
 
 @dataclass(frozen=True)

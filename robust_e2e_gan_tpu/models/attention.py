@@ -77,7 +77,14 @@ class AttLoc(nn.Module):
         mask: jnp.ndarray,
         dec_z: jnp.ndarray,
         att_prev: jnp.ndarray,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        step_pack=None,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """step_pack (beam mode only): dict of decoder-step tensors
+        (tok, emb_table, cell_wx, cell_wh, cell_bias, out_w, out_b,
+        z_prev, c_prev) — when given and the fused FULL-step kernel fits,
+        returns (logits, att, z_new, c_new) instead of (ctx, att), with
+        the whole embed+attention+cell+readout step in one Mosaic program
+        (ops/att_pallas.py::att_dec_step_fused)."""
         a = self.cfg.dim
         beam = dec_z.ndim == 3
         # conv over previous alignment: (N, T, 1) -> (N, T, C); beam lanes
@@ -119,6 +126,44 @@ class AttLoc(nn.Module):
             shards = int(km[0].shape[km[1]]) if km else 1
             local_b = b // shards if shards > 1 and b % shards == 0 else b
             e_dim = enc.shape[-1]
+            if step_pack is not None:
+                from robust_e2e_gan_tpu.ops.att_pallas import (
+                    att_dec_plan, att_dec_step_fused,
+                )
+
+                sp = step_pack
+                v, embd = sp["emb_table"].shape
+                h = sp["cell_wh"].shape[0]
+                if att_dec_plan(
+                    local_b, k, t, c, a, e_dim, v, embd, h, enc.dtype
+                ) is not None:
+                    sharp = self.cfg.sharpening
+
+                    def _full(feat, ep, en, de, wl, gv, mk, tk, et, cwx,
+                              cwh, cb, ow, ob, zp, cp_):
+                        r = att_dec_step_fused(
+                            feat, ep, en, de, wl, gv, mk, sharp, tk, et,
+                            cwx, cwh, cb, ow, ob, zp, cp_,
+                        )
+                        assert r is not None  # per-shard plan checked
+                        return r
+
+                    call = sharded_kernel_call(
+                        _full, b,
+                        (True, True, True, True, False, False, True,
+                         True, False, False, False, False, False, False,
+                         True, True),
+                        out_batched=(True, True, True, True),
+                    )
+                    return call(
+                        loc.reshape(b, k, t, c), enc_proj, enc, dec,
+                        wloc, g, mask, sp["tok"], sp["emb_table"],
+                        sp["cell_wx"], sp["cell_wh"], sp["cell_bias"],
+                        sp["out_w"], sp["out_b"], sp["z_prev"],
+                        sp["c_prev"],
+                    )
+                # full-step kernel doesn't fit: fall through to the
+                # attention-only fused path (caller runs the XLA cell)
             if att_loc_plan(local_b, k, t, c, a, e_dim, enc.dtype) is not None:
                 sharp = self.cfg.sharpening
 
@@ -191,7 +236,9 @@ class AttAdd(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, enc, enc_proj, mask, dec_z, att_prev):
+    def __call__(self, enc, enc_proj, mask, dec_z, att_prev,
+                 step_pack=None):
+        del step_pack  # full-step fusion is location-variant-only
         a = self.cfg.dim
         beam = dec_z.ndim == 3
         dec = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_dec")(dec_z)
@@ -223,7 +270,9 @@ class AttDot(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, enc, enc_proj, mask, dec_z, att_prev):
+    def __call__(self, enc, enc_proj, mask, dec_z, att_prev,
+                 step_pack=None):
+        del step_pack  # full-step fusion is location-variant-only
         a = self.cfg.dim
         beam = dec_z.ndim == 3
         dec = nn.Dense(a, use_bias=False, dtype=self.dtype, name="mlp_dec")(dec_z)

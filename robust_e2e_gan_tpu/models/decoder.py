@@ -33,6 +33,33 @@ from robust_e2e_gan_tpu.models.attention import (
 from robust_e2e_gan_tpu.models.rnn import LSTMCell
 
 
+class DenseIO(nn.Module):
+    """nn.Dense-equivalent with params declared in setup from a static
+    ``in_features`` — so fused serving kernels can read ``.kernel``/
+    ``.bias`` directly. Parameter tree (kernel/bias, f32 masters, lecun
+    init) is byte-compatible with nn.Dense checkpoints."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (
+            jnp.matmul(x.astype(self.dtype), self.kernel.astype(self.dtype))
+            + self.bias.astype(self.dtype)
+        )
+
+
 class DecoderStep(nn.Module):
     """One decode step on raw token ids: scheduled-sampling token choice,
     embedding, attention with s_{t-1}, LSTM update, output logits."""
@@ -52,22 +79,63 @@ class DecoderStep(nn.Module):
                 self.make_rng("sampling"), sampling_prob, tok_t.shape
             )
             tok_t = jnp.where(sample & (prev_pred >= 0), prev_pred, tok_t)
-        emb_t = nn.Embed(
+        embed_mod = nn.Embed(
             self.dcfg.vocab_size, self.dcfg.embed_dim, dtype=self.dtype,
             name="embed",
-        )(jnp.maximum(tok_t, 0))
+        )
+        tok_pos = jnp.maximum(tok_t, 0)
+        emb_t = embed_mod(tok_pos)
 
         n, b = tok_t.shape[0], enc.shape[0]
+        e_dim = enc.shape[-1]
+        hdim = self.dcfg.hidden_dim
+        cell0 = LSTMCell(
+            hdim, in_features=self.dcfg.embed_dim + e_dim,
+            dtype=self.dtype, name="lstm0",
+        )
+        outd = DenseIO(
+            self.dcfg.vocab_size, in_features=hdim + e_dim,
+            dtype=self.dtype, name="output",
+        )
         att_mod = make_attention(self.acfg, dtype=self.dtype, name="att")
         if n != b:
             # beam search: N = B*K hypothesis lanes share B encoder rows —
             # attention broadcasts over the beam axis instead of reading a
             # K-fold repeated enc/enc_proj from HBM each step
             k = n // b
-            ctx, att = att_mod(
+            step_pack = None
+            if self._fused_step():
+                # full-step fusion: hand the attention module everything
+                # the post-attention stage needs; it returns logits and
+                # new LSTM state when the kernel fits these shapes
+                step_pack = {
+                    "tok": tok_pos.reshape(b, k),
+                    "emb_table": embed_mod.embedding,
+                    "cell_wx": cell0.wx,
+                    "cell_wh": cell0.wh,
+                    "cell_bias": cell0.bias,
+                    "out_w": outd.kernel,
+                    "out_b": outd.bias,
+                    "z_prev": h_prev[-1].reshape(b, k, -1),
+                    "c_prev": c_prev[-1].reshape(b, k, -1),
+                }
+            res = att_mod(
                 enc, enc_proj, enc_mask,
                 h_prev[-1].reshape(b, k, -1), att_prev.reshape(b, k, -1),
+                step_pack=step_pack,
             )
+            if len(res) == 4:
+                logits, att, z_new, c_new = res
+                # dtype parity with the XLA readout (bf16 rounding point)
+                logits = logits.reshape(n, -1).astype(self.dtype)
+                att = att.reshape(n, -1).astype(att_prev.dtype)
+                new_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                new_carry = (
+                    z_new.reshape(1, n, -1), c_new.reshape(1, n, -1),
+                    att, new_pred,
+                )
+                return new_carry, (logits, att)
+            ctx, att = res
             ctx = ctx.reshape(n, -1)
             att = att.reshape(n, -1)
         else:
@@ -76,18 +144,31 @@ class DecoderStep(nn.Module):
         hs, cs = [], []
         inp = x
         for li in range(self.dcfg.num_layers):
-            (h_new, c_new), inp = LSTMCell(
-                self.dcfg.hidden_dim, dtype=self.dtype, name=f"lstm{li}"
-            )((h_prev[li], c_prev[li]), inp)
+            cell = cell0 if li == 0 else LSTMCell(
+                hdim, in_features=inp.shape[-1],
+                dtype=self.dtype, name=f"lstm{li}",
+            )
+            (h_new, c_new), inp = cell((h_prev[li], c_prev[li]), inp)
             hs.append(h_new)
             cs.append(c_new)
         z = inp
-        logits = nn.Dense(
-            self.dcfg.vocab_size, dtype=self.dtype, name="output"
-        )(jnp.concatenate([z, ctx], axis=-1))
+        logits = outd(jnp.concatenate([z, ctx], axis=-1))
         new_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new_carry = (jnp.stack(hs), jnp.stack(cs), att, new_pred)
         return new_carry, (logits, att)
+
+    def _fused_step(self) -> bool:
+        """Full-step fusion gate: config + structural requirements (one
+        LSTM layer, location attention; vocab bound checked by the
+        kernel plan)."""
+        if self.dcfg.num_layers != 1 or self.acfg.variant != "location":
+            return False
+        impl = getattr(self.dcfg, "step_impl", "auto")
+        if impl == "fused":
+            return True
+        if impl == "auto":
+            return jax.default_backend() == "tpu"
+        return False
 
 
 class Decoder(nn.Module):

@@ -55,7 +55,9 @@ class LMStep(nn.Module):
         hs, cs = [], []
         for li in range(self.cfg.num_layers):
             (h_new, c_new), inp = LSTMCell(
-                self.cfg.hidden_dim, dtype=self.dtype, name=f"lstm{li}"
+                self.cfg.hidden_dim,
+                in_features=inp.shape[-1],
+                dtype=self.dtype, name=f"lstm{li}",
             )((h_prev[li], c_prev[li]), inp)
             hs.append(h_new)
             cs.append(c_new)

@@ -314,29 +314,45 @@ class BLSTMP(nn.Module):
 
 
 class LSTMCell(nn.Module):
-    """Single-step LSTM cell for the attention decoder's per-token loop."""
+    """Single-step LSTM cell for the attention decoder's per-token loop.
+
+    Setup-style (params declared from ``in_features``) so fused serving
+    kernels can read ``.wx``/``.wh``/``.bias`` directly without invoking
+    the cell; the parameter tree is identical to the original compact
+    form (names wx/wh/bias, f32 master weights)."""
 
     hidden_dim: int
+    in_features: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        d, h = self.in_features, self.hidden_dim
+        self.wx = self.param(
+            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), jnp.float32
+        )
+        self.wh = self.param(
+            "wh", nn.initializers.orthogonal(), (h, 4 * h), jnp.float32
+        )
+        self.bias = self.param("bias", _lstm_bias_init, (4 * h,), jnp.float32)
+
     def __call__(
         self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray
     ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         h_prev, c_prev = carry
-        d = x.shape[-1]
-        h = self.hidden_dim
-        wx = self.param(
-            "wx", nn.initializers.xavier_uniform(), (d, 4 * h), jnp.float32
-        ).astype(self.dtype)
-        wh = self.param(
-            "wh", nn.initializers.orthogonal(), (h, 4 * h), jnp.float32
-        ).astype(self.dtype)
-        bias = self.param("bias", _lstm_bias_init, (4 * h,), jnp.float32)
+        if x.shape[-1] != self.in_features:
+            raise ValueError(
+                f"LSTMCell in_features={self.in_features}, got {x.shape}"
+            )
         gates = (
-            jnp.matmul(x.astype(self.dtype), wx, preferred_element_type=jnp.float32)
-            + jnp.matmul(h_prev, wh, preferred_element_type=jnp.float32)
-            + bias
+            jnp.matmul(
+                x.astype(self.dtype), self.wx.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.matmul(
+                h_prev, self.wh.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + self.bias
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)

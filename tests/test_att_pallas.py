@@ -134,3 +134,101 @@ def test_fused_oversize_falls_back():
         2.0,
     )
     assert out is None
+
+
+def test_fused_decoder_step_matches_xla():
+    """att_dec_step_fused through DecoderStep: logits, alignment and the
+    new LSTM state match the XLA step (fused-attention scoring in both,
+    so the only delta is the post-attention stage) on ragged masks."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.config import DecoderConfig
+    from robust_e2e_gan_tpu.models.attention import (
+        EncoderProjection, initial_alignment,
+    )
+    from robust_e2e_gan_tpu.models.decoder import DecoderStep
+
+    b, k, t, e_dim = 4, 3, 20, 40
+    v, emb, h, a = 12, 16, 24, 24
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.standard_normal((b, t, e_dim)).astype(np.float32))
+    lens = jnp.asarray([20, 13, 7, 16], jnp.int32)
+    mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(jnp.float32)
+    acfg = AttentionConfig(dim=a, conv_channels=4, conv_kernel=11,
+                           score_impl="fused")
+    dcfg_x = DecoderConfig(vocab_size=v, embed_dim=emb, hidden_dim=h,
+                           step_impl="xla")
+    dcfg_f = dataclasses.replace(dcfg_x, step_impl="fused")
+
+    n = b * k
+    tok = jnp.asarray(rng.integers(0, v, size=(n,)), jnp.int32)
+    h0 = jnp.asarray(rng.standard_normal((1, n, h)).astype(np.float32)) * 0.3
+    c0 = jnp.asarray(rng.standard_normal((1, n, h)).astype(np.float32)) * 0.3
+    att0 = jnp.broadcast_to(
+        initial_alignment(mask)[:, None, :], (b, k, t)
+    ).reshape(n, t)
+    carry = (h0, c0, att0, jnp.full((n,), -1, jnp.int32))
+
+    ep_mod = EncoderProjection(acfg)
+    enc_proj = ep_mod.apply(ep_mod.init(jax.random.PRNGKey(0), enc), enc)
+
+    mx = DecoderStep(dcfg_x, acfg)
+    mf = DecoderStep(dcfg_f, acfg)
+    params = mx.init(jax.random.PRNGKey(1), carry, tok, enc, enc_proj, mask)
+    cx, (lx, ax) = mx.apply(params, carry, tok, enc, enc_proj, mask)
+    cf, (lf, af) = mf.apply(params, carry, tok, enc, enc_proj, mask)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lf),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ax), np.asarray(af),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cx[0]), np.asarray(cf[0]),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cx[1]), np.asarray(cf[1]),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cx[3]), np.asarray(cf[3]))
+
+
+def test_fused_decoder_step_fallbacks():
+    """Structural gates: >128 vocab or num_layers>1 fall back to the XLA
+    cell (identical results, since scoring stays fused either way)."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.config import DecoderConfig
+    from robust_e2e_gan_tpu.models.attention import (
+        EncoderProjection, initial_alignment,
+    )
+    from robust_e2e_gan_tpu.models.decoder import DecoderStep
+    from robust_e2e_gan_tpu.ops.att_pallas import att_dec_plan
+
+    assert att_dec_plan(4, 3, 20, 4, 24, 40, 200, 16, 24,
+                        jnp.float32) is None  # vocab > 128
+
+    b, k, t, e_dim = 2, 2, 16, 24
+    v, emb, h, a = 200, 8, 16, 16
+    rng = np.random.default_rng(1)
+    enc = jnp.asarray(rng.standard_normal((b, t, e_dim)).astype(np.float32))
+    mask = jnp.ones((b, t), jnp.float32)
+    acfg = AttentionConfig(dim=a, conv_channels=4, conv_kernel=11,
+                           score_impl="fused")
+    n = b * k
+    tok = jnp.asarray(rng.integers(0, v, size=(n,)), jnp.int32)
+    att0 = jnp.broadcast_to(
+        initial_alignment(mask)[:, None, :], (b, k, t)
+    ).reshape(n, t)
+
+    for layers in (1, 2):
+        dcfg_x = DecoderConfig(vocab_size=v, embed_dim=emb, hidden_dim=h,
+                               num_layers=layers, step_impl="xla")
+        dcfg_f = dataclasses.replace(dcfg_x, step_impl="fused")
+        h0 = jnp.zeros((layers, n, h), jnp.float32)
+        carry = (h0, h0, att0, jnp.full((n,), -1, jnp.int32))
+        ep_mod = EncoderProjection(acfg)
+        enc_proj = ep_mod.apply(ep_mod.init(jax.random.PRNGKey(0), enc),
+                                enc)
+        mx = DecoderStep(dcfg_x, acfg)
+        mf = DecoderStep(dcfg_f, acfg)
+        params = mx.init(jax.random.PRNGKey(1), carry, tok, enc, enc_proj,
+                         mask)
+        _, (lx, _) = mx.apply(params, carry, tok, enc, enc_proj, mask)
+        _, (lf, _) = mf.apply(params, carry, tok, enc, enc_proj, mask)
+        np.testing.assert_array_equal(np.asarray(lx), np.asarray(lf))

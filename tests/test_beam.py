@@ -622,3 +622,46 @@ def test_beam_score_impls_same_result():
         np.asarray(res["xla"].scores), np.asarray(res["fused"].scores),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_beam_step_impls_same_result():
+    """End-to-end search: the fully-fused decoder step (attention +
+    embedding + LSTM cell + readout in one Mosaic program, interpret mode
+    here) and the XLA step produce identical hypotheses at f32."""
+    import dataclasses
+
+    res = {}
+    for score_impl, step_impl in (("xla", "xla"), ("fused", "fused")):
+        jcfg = dataclasses.replace(
+            JCFG,
+            e2e=dataclasses.replace(
+                JCFG.e2e,
+                attention=dataclasses.replace(
+                    JCFG.e2e.attention, score_impl=score_impl
+                ),
+                decoder=dataclasses.replace(
+                    JCFG.e2e.decoder, step_impl=step_impl
+                ),
+            ),
+        )
+        model = RobustE2E(jcfg)
+        rng = np.random.default_rng(17)
+        scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+        batch = make_batch(3, scfg, rng, ignore_id=-1)
+        wav = jnp.asarray(batch["noisy_wav"])
+        lens = jnp.asarray(batch["wav_lengths"])
+        params = model.init(
+            jax.random.PRNGKey(7), wav, lens, jnp.asarray(batch["labels"]),
+            use_enhancer=True, method=RobustE2E.asr_forward,
+        )["params"]
+        bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=8)
+        searcher = make_beam_searcher(model, jcfg.e2e, bcfg,
+                                      use_enhancer=True)
+        res[step_impl] = searcher(params, wav, lens)
+    np.testing.assert_array_equal(
+        np.asarray(res["xla"].tokens), np.asarray(res["fused"].tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["xla"].scores), np.asarray(res["fused"].scores),
+        rtol=1e-4, atol=1e-4,
+    )
