@@ -282,3 +282,55 @@ def test_kernel_mesh_beam_decode_pallas_impls_match():
     np.testing.assert_array_equal(
         np.asarray(res1.tokens), np.asarray(res8.tokens)
     )
+
+
+def test_dp_fused_blstm_train_step_matches_single_device():
+    """Joint adversarial G+D step with the fused Pallas BLSTM TRAIN
+    kernels (lstm_impl='fused'), sharded 8-way under the ambient kernel
+    mesh == the single-device fused run (and the scan run, which the
+    kernel-level tests already tie it to)."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.parallel.sharding import kernel_mesh
+
+    jcfg = dataclasses.replace(
+        JCFG,
+        e2e=dataclasses.replace(
+            JCFG.e2e,
+            encoder=dataclasses.replace(
+                JCFG.e2e.encoder, lstm_impl="fused"
+            ),
+        ),
+        enhancer=dataclasses.replace(JCFG.enhancer, lstm_impl="fused"),
+    )
+
+    def setup():
+        model = RobustE2E(jcfg)
+        disc = Discriminator(jcfg.discriminator)
+        rng = np.random.default_rng(0)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in make_batch(8, SCFG, rng, ignore_id=-1).items()
+        }
+        state, opt_g, opt_d = init_train_state(
+            model, disc, TCFG, batch, seed=0
+        )
+        step = make_joint_train_step(model, disc, jcfg, opt_g, opt_d,
+                                     with_asr=True)
+        return batch, state, step
+
+    batch, state, step = setup()
+    s1, m1 = step(state, batch)
+
+    batch2, state2, step2 = setup()
+    mesh = make_mesh(8, 1)
+    with kernel_mesh(mesh):
+        state2 = shard_train_state(state2, mesh)
+        sharded = shard_batch(batch2, mesh)
+        s2, m2 = step2(state2, sharded)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged (fused impl, 8-way DP)",
+        )
