@@ -1,0 +1,144 @@
+"""On-chip parity drive for the fused Pallas serving/training kernels.
+
+Compiled-mode (not interpret) checks on the attached TPU:
+  1. full beam search, fused impls (auto on TPU: fused attention step,
+     fully-fused decoder step, tiled BLSTM, tiled CTC prefix) vs the
+     all-XLA impls — same WER on a trained model, near-identical tokens;
+  2. fused-train BLSTM (ops/blstm_train_pallas.py) gradients vs the scan
+     path at f32 — the on-chip complement of the interpret-mode suite
+     (tests/test_blstm_train_pallas.py), catching Mosaic lowering issues
+     interpret mode cannot.
+
+Usage: PYTHONPATH=/root/repo python -u scripts/verify_fused.py [train_steps]
+Prints FUSED VERIFY PASS on success. Budget ~2-4 min warm cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from robust_e2e_gan_tpu.config import BeamSearchConfig
+from robust_e2e_gan_tpu.data.synthetic import labels_to_list, make_batch
+from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
+from robust_e2e_gan_tpu.models.enhancement import Discriminator
+from robust_e2e_gan_tpu.models.rnn import BLSTM
+from robust_e2e_gan_tpu.ops.editdistance import wer_details
+from robust_e2e_gan_tpu.pipeline import RobustE2E
+from robust_e2e_gan_tpu.train.steps import (
+    init_train_state, make_joint_train_step,
+)
+from scripts.verify_drive import JCFG, SCFG, TCFG, VOCAB
+
+
+def impls(jcfg, which):
+    """Force every kernel-impl knob to `which` ('xla-ish scan' or auto)."""
+    if which == "xla":
+        att = dataclasses.replace(jcfg.e2e.attention, score_impl="xla")
+        dec = dataclasses.replace(jcfg.e2e.decoder, step_impl="xla")
+        enc = dataclasses.replace(jcfg.e2e.encoder, lstm_impl="scan")
+        enh = dataclasses.replace(jcfg.enhancer, lstm_impl="scan")
+        bcfg_impl = "twopass"
+    else:
+        att = dataclasses.replace(jcfg.e2e.attention, score_impl="fused")
+        dec = dataclasses.replace(jcfg.e2e.decoder, step_impl="fused")
+        enc = dataclasses.replace(jcfg.e2e.encoder, lstm_impl="tiled")
+        enh = dataclasses.replace(jcfg.enhancer, lstm_impl="tiled")
+        bcfg_impl = "tiled"
+    return dataclasses.replace(
+        jcfg,
+        e2e=dataclasses.replace(jcfg.e2e, attention=att, decoder=dec,
+                                encoder=enc),
+        enhancer=enh,
+    ), bcfg_impl
+
+
+def main(steps=300):
+    print("backend:", jax.default_backend(), jax.devices())
+
+    # ---- 2. fused-train BLSTM grads vs scan, compiled on chip ----
+    b, t, d, h = 8, 24, 16, 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(1, t + 1, size=b).astype(np.int32))
+    mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(jnp.float32)
+    r = jnp.asarray(rng.standard_normal((b, t, 2 * h)).astype(np.float32))
+    m_scan = BLSTM(h, impl="scan")
+    m_fused = BLSTM(h, impl="fused")
+    params = m_scan.init(jax.random.PRNGKey(0), x, mask)
+
+    def loss(m):
+        def f(p, xx):
+            return jnp.sum(m.apply(p, xx, mask).astype(jnp.float32) * r)
+        return jax.jit(jax.grad(f, argnums=(0, 1)))
+
+    g0 = loss(m_scan)(params, x)
+    g1 = loss(m_fused)(params, x)
+    for a, bb_ in zip(jax.tree_util.tree_leaves(g0),
+                      jax.tree_util.tree_leaves(g1)):
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(bb_) / scale, np.asarray(a) / scale,
+            rtol=0, atol=5e-5,
+        )
+    print("fused-train BLSTM grads == scan on chip")
+
+    # ---- 1. train briefly, then fused vs XLA search on chip ----
+    rng = np.random.default_rng(1)
+    seg = int(SCFG.tone_ms * SCFG.sample_rate / 1000.0)
+    pad_to = SCFG.max_tokens * seg
+    model = RobustE2E(JCFG)
+    disc = Discriminator(JCFG.discriminator)
+    batch0 = {k: jnp.asarray(v) for k, v in
+              make_batch(16, SCFG, rng, pad_to_samples=pad_to,
+                         ignore_id=-1).items()}
+    state, opt_g, opt_d = init_train_state(model, disc, TCFG, batch0, seed=0)
+    step = make_joint_train_step(model, disc, JCFG, opt_g, opt_d,
+                                 with_asr=True)
+    for i in range(steps):
+        bt = make_batch(16, SCFG, rng, pad_to_samples=pad_to, ignore_id=-1)
+        state, metrics = step(
+            state, {k: jnp.asarray(v) for k, v in bt.items()}
+        )
+    print("trained, acc:", float(metrics["acc"]))
+
+    eval_b = make_batch(16, SCFG, rng, pad_to_samples=pad_to, ignore_id=-1)
+    wav = jnp.asarray(eval_b["noisy_wav"])
+    lens = jnp.asarray(eval_b["wav_lengths"])
+    refs = labels_to_list(eval_b["labels"])
+    res = {}
+    for which in ("xla", "fused"):
+        jcfg, prefix_impl = impls(JCFG, which)
+        m = RobustE2E(jcfg)
+        bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3, max_steps=10,
+                                prefix_impl=prefix_impl)
+        searcher = make_beam_searcher(m, jcfg.e2e, bcfg, use_enhancer=True)
+        out = searcher(state.params_g, wav, lens)
+        hyps = [[int(x) for x in row if x != -1]
+                for row in np.asarray(out.tokens)]
+        res[which] = (wer_details(refs, hyps), np.asarray(out.tokens))
+        print(f"{which}: WER {res[which][0]}")
+    wer_x, tok_x = res["xla"]
+    wer_f, tok_f = res["fused"]
+    assert abs(wer_x["error_rate"] - wer_f["error_rate"]) <= 0.01, (
+        wer_x, wer_f,
+    )
+    same = float(np.mean(np.all(tok_x == tok_f, axis=1)))
+    print(f"identical hypothesis rows: {same:.2%}")
+    assert same >= 0.9, same  # f32: only genuine near-ties may flip
+    print("FUSED VERIFY PASS")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
