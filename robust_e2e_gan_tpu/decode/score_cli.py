@@ -44,7 +44,8 @@ def read_trn(path: str) -> Dict[str, str]:
 
 
 def score_files(
-    ref_path: str, hyp_path: str, strict: bool = False
+    ref_path: str, hyp_path: str, strict: bool = False,
+    per_utt: bool = False,
 ) -> Tuple[dict, list]:
     refs = read_trn(ref_path)
     hyps = read_trn(hyp_path)
@@ -64,14 +65,15 @@ def score_files(
     report["n_utts"] = len(common)
     report["n_missing_hyp"] = len(missing)
     report["n_extra_hyp"] = len(extra)
-    per_utt = []
-    for k, r, h in zip(common, ref_texts, hyp_texts):
-        d = wer_details([r.split()], [h.split()])
-        per_utt.append({
-            "utt_id": k, "wer": d["error_rate"],
-            "n_ref_words": int(d["ref_tokens"]),
-        })
-    return report, per_utt
+    rows = []
+    if per_utt:  # per-utterance alignments are O(len^2) each — opt-in
+        for k, r, h in zip(common, ref_texts, hyp_texts):
+            d = wer_details([r.split()], [h.split()])
+            rows.append({
+                "utt_id": k, "wer": d["error_rate"],
+                "n_ref_words": int(d["ref_tokens"]),
+            })
+    return report, rows
 
 
 def main(argv=None) -> None:
@@ -89,7 +91,9 @@ def main(argv=None) -> None:
                    help="fail on ref/hyp utterance-set mismatch")
     args = p.parse_args(argv)
 
-    report, per_utt = score_files(args.ref, args.hyp, args.strict)
+    report, per_utt = score_files(
+        args.ref, args.hyp, args.strict, per_utt=args.per_utt
+    )
     if args.per_utt:
         report["per_utt"] = per_utt
 

@@ -110,7 +110,7 @@ class AttLoc(nn.Module):
                 att_loc_fused, att_loc_plan,
             )
             from robust_e2e_gan_tpu.parallel.sharding import (
-                current_kernel_mesh, sharded_kernel_call,
+                local_kernel_batch, sharded_kernel_call,
             )
 
             b, k, t = att_prev.shape
@@ -122,9 +122,7 @@ class AttLoc(nn.Module):
             # budget-plan on the PER-SHARD batch when a data mesh is
             # registered (the kernel then runs inside shard_map — XLA
             # cannot partition a pallas_call and would all-gather)
-            km = current_kernel_mesh()
-            shards = int(km[0].shape[km[1]]) if km else 1
-            local_b = b // shards if shards > 1 and b % shards == 0 else b
+            local_b = local_kernel_batch(b)
             e_dim = enc.shape[-1]
             if step_pack is not None:
                 from robust_e2e_gan_tpu.ops.att_pallas import (

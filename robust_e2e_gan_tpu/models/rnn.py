@@ -201,14 +201,12 @@ class BLSTM(nn.Module):
                 blstm_train, fused_train_fits,
             )
             from robust_e2e_gan_tpu.parallel.sharding import (
-                current_kernel_mesh, sharded_kernel_call,
+                local_kernel_batch, sharded_kernel_call,
             )
 
-            km = current_kernel_mesh()
-            shards = int(km[0].shape[km[1]]) if km else 1
-            local_b = b // shards if shards > 1 and b % shards == 0 else b
             if fused_train_fits(
-                local_b, t, d, h, jnp.dtype(self.dtype).itemsize
+                local_kernel_batch(b), t, d, h,
+                jnp.dtype(self.dtype).itemsize,
             ):
                 lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
                 call = sharded_kernel_call(

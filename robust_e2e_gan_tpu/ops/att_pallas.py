@@ -346,6 +346,11 @@ def _kernel_step(bb: int, k: int, tp: int, cp: int, a: int, e: int,
             + jnp.dot(ctxc, wxc_ref[...],
                       preferred_element_type=jnp.float32)
         )
+        # NOTE bf16 serving: the f32 LSTM state rounds to the compute
+        # dtype for this MXU dot, while the XLA cell promotes wh to f32
+        # instead — a bf16-rounding-level gate difference (same convention
+        # as the BLSTM kernels; f32 serving is bit-consistent, and the
+        # bf16 WER-parity gate lives in scripts/verify_drive.py)
         gh = jnp.dot(
             zrow.astype(cdtype), whc_ref[...],
             preferred_element_type=jnp.float32,

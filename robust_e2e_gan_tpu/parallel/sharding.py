@@ -198,7 +198,15 @@ _KERNEL_MESH: Optional[Tuple[Mesh, str]] = None
 
 
 def set_kernel_mesh(mesh: Optional[Mesh], axis: str = DATA_AXIS) -> None:
-    """Register (or clear, with None) the ambient kernel mesh."""
+    """Register (or clear, with None) the ambient kernel mesh.
+
+    Must be called BEFORE the first invocation of any jitted function
+    whose trace should shard_map its kernels: sharded_kernel_call reads
+    the registration at trace time, and jit caches are keyed on argument
+    avals only — a function traced earlier keeps its unwrapped
+    (all-gathering) kernels for those shapes. The CLIs register the mesh
+    immediately after building it, before any model call.
+    """
     global _KERNEL_MESH
     _KERNEL_MESH = None if mesh is None else (mesh, axis)
 
@@ -221,6 +229,20 @@ class kernel_mesh:
     def __exit__(self, *exc):
         global _KERNEL_MESH
         _KERNEL_MESH = self.prev
+
+
+def local_kernel_batch(batch_size: int) -> int:
+    """Per-device batch a kernel will see inside sharded_kernel_call's
+    shard_map — or the full batch when the call would run unwrapped.
+    Kernel call sites use this for VMEM budget planning; it is the single
+    encoding of the same gating rule sharded_kernel_call applies."""
+    km = _KERNEL_MESH
+    if km is None:
+        return batch_size
+    n = int(km[0].shape[km[1]])
+    if n <= 1 or batch_size % n:
+        return batch_size
+    return batch_size // n
 
 
 def sharded_kernel_call(fn, batch_size: int, in_batched, out_batched=True):

@@ -232,3 +232,56 @@ def test_fused_decoder_step_fallbacks():
         _, (lx, _) = mx.apply(params, carry, tok, enc, enc_proj, mask)
         _, (lf, _) = mf.apply(params, carry, tok, enc, enc_proj, mask)
         np.testing.assert_array_equal(np.asarray(lx), np.asarray(lf))
+
+
+def test_fused_decoder_step_bf16_close():
+    """bf16 compute: the fused step's gate math rounds the f32 LSTM state
+    to bf16 for the recurrent dot (the XLA cell promotes wh to f32
+    instead) — logits/state must stay within bf16-rounding tolerance of
+    the XLA step; WER-level parity on chip is gated by verify_drive."""
+    import dataclasses
+
+    from robust_e2e_gan_tpu.config import DecoderConfig
+    from robust_e2e_gan_tpu.models.attention import (
+        EncoderProjection, initial_alignment,
+    )
+    from robust_e2e_gan_tpu.models.decoder import DecoderStep
+
+    b, k, t, e_dim = 3, 3, 18, 32
+    v, emb, h, a = 12, 16, 24, 24
+    rng = np.random.default_rng(5)
+    enc = jnp.asarray(
+        rng.standard_normal((b, t, e_dim)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    lens = jnp.asarray([18, 9, 13], jnp.int32)
+    mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(jnp.float32)
+    acfg = AttentionConfig(dim=a, conv_channels=4, conv_kernel=11,
+                           score_impl="fused")
+    dcfg_x = DecoderConfig(vocab_size=v, embed_dim=emb, hidden_dim=h,
+                           step_impl="xla")
+    dcfg_f = dataclasses.replace(dcfg_x, step_impl="fused")
+
+    n = b * k
+    tok = jnp.asarray(rng.integers(0, v, size=(n,)), jnp.int32)
+    h0 = jnp.asarray(rng.standard_normal((1, n, h)).astype(np.float32)) * 0.3
+    c0 = jnp.asarray(rng.standard_normal((1, n, h)).astype(np.float32)) * 0.3
+    att0 = jnp.broadcast_to(
+        initial_alignment(mask)[:, None, :], (b, k, t)
+    ).reshape(n, t)
+    carry = (h0, c0, att0, jnp.full((n,), -1, jnp.int32))
+
+    ep_mod = EncoderProjection(acfg, dtype=jnp.bfloat16)
+    enc_proj = ep_mod.apply(ep_mod.init(jax.random.PRNGKey(0), enc), enc)
+
+    mx = DecoderStep(dcfg_x, acfg, dtype=jnp.bfloat16)
+    mf = DecoderStep(dcfg_f, acfg, dtype=jnp.bfloat16)
+    params = mx.init(jax.random.PRNGKey(1), carry, tok, enc, enc_proj, mask)
+    cx, (lx, _) = mx.apply(params, carry, tok, enc, enc_proj, mask)
+    cf, (lf, _) = mf.apply(params, carry, tok, enc, enc_proj, mask)
+    lx = np.asarray(lx, np.float32)
+    lf = np.asarray(lf, np.float32)
+    scale = np.abs(lx).max() + 1e-6
+    assert np.abs(lx - lf).max() / scale < 3e-2, np.abs(lx - lf).max()
+    for i in (0, 1):
+        a_, b_ = np.asarray(cx[i], np.float32), np.asarray(cf[i], np.float32)
+        assert np.abs(a_ - b_).max() < 3e-2, np.abs(a_ - b_).max()

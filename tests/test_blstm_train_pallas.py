@@ -51,9 +51,14 @@ def _grads(module, params, x, mask, r):
         (4, 37, 64, 96, None),  # unaligned H (Hp=128) + ragged T
         (5, 16, 40, 128, 2),  # unaligned B (Bp=8), Tp == T
         (3, 13, 24, 96, 4),  # Tp > T (chunk padding tail)
+        (3, 13, 24, 96, 8),  # chunk > half of T (deep tail padding)
+        (4, 7, 16, 96, 1),  # single-frame chunks (max drain pressure)
     ],
 )
 def test_fused_grads_match_scan(b, t, d, h, chunk):
+    """Module-level default-chunk parity, then the SAME shapes through
+    blstm_train with the explicit chunk override (the module has no chunk
+    knob, so the parametrized sizes exercise the kernel directly)."""
     x, lens, mask, r = _case(b, t, d, h)
     m_scan = BLSTM(h, impl="scan")
     m_fused = BLSTM(h, impl="fused")
@@ -73,6 +78,31 @@ def test_fused_grads_match_scan(b, t, d, h, chunk):
         np.testing.assert_allclose(
             g1[k] / scale, g0[k] / scale, rtol=0, atol=5e-6,
             err_msg=f"gradient mismatch for {k}",
+        )
+
+    if chunk is None:
+        return
+    p = params["params"]
+    lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+
+    def loss_direct(x, wx, wh, bias):
+        y = blstm_train(x, lengths, wx, wh, bias, chunk=chunk)
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    y2 = blstm_train(x, lengths, p["wx"], p["wh"], p["bias"], chunk=chunk)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y2), rtol=0, atol=2e-5
+    )
+    g2 = jax.grad(loss_direct, argnums=(0, 1, 2, 3))(
+        x, p["wx"], p["wh"], p["bias"]
+    )
+    for k, v in zip(("x", "['params']['wx']", "['params']['wh']",
+                     "['params']['bias']"), g2):
+        scale = np.abs(g0[k]).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(v, np.float32) / scale, g0[k] / scale,
+            rtol=0, atol=5e-6,
+            err_msg=f"gradient mismatch for {k} at chunk={chunk}",
         )
 
 
