@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from robust_e2e_gan_tpu.models.decoder import DenseIO
 from robust_e2e_gan_tpu.models.rnn import LSTMCell
 
 
@@ -36,6 +37,10 @@ class LMConfig:
     sos_id: int = 1  # shared <sos>/<eos>, same convention as E2EConfig
     eos_id: int = 1
     ignore_id: int = -1
+    # Beam-step implementation: "xla", "fused" (ops/lm_step_pallas.py —
+    # the whole embed + cells + readout step in one Mosaic program; needs
+    # vocab <= 128), "auto" (fused on TPU). Training always uses XLA.
+    step_impl: str = "auto"
 
 
 class LMStep(nn.Module):
@@ -45,26 +50,93 @@ class LMStep(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, tok_t):
+    def __call__(self, carry, tok_t, fused_ok: bool = False):
         h_prev, c_prev = carry
-        emb = nn.Embed(
+        tok_pos = jnp.maximum(tok_t, 0)
+        embed_mod = nn.Embed(
             self.cfg.vocab_size, self.cfg.embed_dim, dtype=self.dtype,
             name="embed",
-        )(jnp.maximum(tok_t, 0))
+        )
+        cells = [
+            LSTMCell(
+                self.cfg.hidden_dim,
+                in_features=(self.cfg.embed_dim if li == 0
+                             else self.cfg.hidden_dim),
+                dtype=self.dtype, name=f"lstm{li}",
+            )
+            for li in range(self.cfg.num_layers)
+        ]
+        outd = DenseIO(
+            self.cfg.vocab_size, in_features=self.cfg.hidden_dim,
+            dtype=self.dtype, name="output",
+        )
+
+        if fused_ok and self._fused_step():
+            from robust_e2e_gan_tpu.ops.lm_step_pallas import (
+                lm_step_fused, lm_step_plan,
+            )
+            from robust_e2e_gan_tpu.parallel.sharding import (
+                local_kernel_batch, sharded_kernel_call,
+            )
+
+            n = tok_t.shape[0]
+            if lm_step_plan(
+                local_kernel_batch(n), self.cfg.vocab_size,
+                self.cfg.embed_dim, self.cfg.hidden_dim,
+                self.cfg.num_layers, self.dtype,
+            ):
+                wxs = tuple(c.wx for c in cells)
+                whs = tuple(c.wh for c in cells)
+                bs = tuple(c.bias for c in cells)
+
+                # state is (L, N, H): shard_map specs shard dim 0, so
+                # the wrapped fn sees it batch-major and swaps inside
+                def _f(tk, et, ws_x, ws_h, ws_b, ok, ob, hs_, cs_):
+                    r = lm_step_fused(
+                        tk, et, ws_x, ws_h, ws_b, ok, ob,
+                        jnp.swapaxes(hs_, 0, 1), jnp.swapaxes(cs_, 0, 1),
+                        dtype=self.dtype,
+                    )
+                    assert r is not None  # per-shard plan checked above
+                    h2, c2, lg = r
+                    return (jnp.swapaxes(h2, 0, 1),
+                            jnp.swapaxes(c2, 0, 1), lg)
+
+                call = sharded_kernel_call(
+                    _f, n,
+                    (True, False, False, False, False, False, False,
+                     True, True),
+                    out_batched=(True, True, True),
+                )
+                h_new, c_new, logits = call(
+                    tok_pos, embed_mod.embedding, wxs, whs, bs,
+                    outd.kernel, outd.bias,
+                    jnp.swapaxes(h_prev, 0, 1),
+                    jnp.swapaxes(c_prev, 0, 1),
+                )
+                return (
+                    (jnp.swapaxes(h_new, 0, 1), jnp.swapaxes(c_new, 0, 1)),
+                    logits.astype(self.dtype),
+                )
+            # shapes outside the kernel plan: fall through to XLA
+
+        emb = embed_mod(tok_pos)
         inp = emb
         hs, cs = [], []
         for li in range(self.cfg.num_layers):
-            (h_new, c_new), inp = LSTMCell(
-                self.cfg.hidden_dim,
-                in_features=inp.shape[-1],
-                dtype=self.dtype, name=f"lstm{li}",
-            )((h_prev[li], c_prev[li]), inp)
+            (h_new, c_new), inp = cells[li]((h_prev[li], c_prev[li]), inp)
             hs.append(h_new)
             cs.append(c_new)
-        logits = nn.Dense(
-            self.cfg.vocab_size, dtype=self.dtype, name="output"
-        )(inp)
+        logits = outd(inp)
         return (jnp.stack(hs), jnp.stack(cs)), logits
+
+    def _fused_step(self) -> bool:
+        impl = getattr(self.cfg, "step_impl", "auto")
+        if impl == "fused":
+            return True
+        if impl == "auto":
+            return jax.default_backend() == "tpu"
+        return False
 
 
 class RNNLM(nn.Module):
@@ -96,8 +168,9 @@ class RNNLM(nn.Module):
         return logits
 
     def step(self, carry, tokens):
-        """Single LM step on raw token ids (beam-search entry point)."""
-        return self.step_mod(carry, tokens)
+        """Single LM step on raw token ids (beam-search entry point);
+        eligible for the fused Pallas step (training scan is not)."""
+        return self.step_mod(carry, tokens, fused_ok=True)
 
 
 def lm_loss(
