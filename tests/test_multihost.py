@@ -149,7 +149,18 @@ from robust_e2e_gan_tpu.train.steps import (
 )
 from robust_e2e_gan_tpu.utils import checkpoint as ckpt_lib
 
+impl = sys.argv[4] if len(sys.argv) > 4 else "scan"
+import dataclasses
 jcfg = _tiny_config(12)
+if impl != "scan":
+    jcfg = dataclasses.replace(
+        jcfg,
+        e2e=dataclasses.replace(
+            jcfg.e2e,
+            encoder=dataclasses.replace(jcfg.e2e.encoder, lstm_impl=impl),
+        ),
+        enhancer=dataclasses.replace(jcfg.enhancer, lstm_impl=impl),
+    )
 model = RobustE2E(jcfg)
 disc = Discriminator(jcfg.discriminator)
 tcfg = TrainConfig(optimizer="adadelta")
@@ -165,6 +176,9 @@ state, opt_g, opt_d = init_train_state(
     {k: jnp.asarray(v) for k, v in full.items()}, seed=0,
 )
 mesh = make_mesh(8, 1)
+if impl != "scan":
+    from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
+    set_kernel_mesh(mesh)
 state = shard_train_state(state, mesh)
 sl = process_batch_slice(GLOBAL_B)
 local = {k: v[sl] for k, v in full.items()}
@@ -213,18 +227,24 @@ print(f"proc {pid} TRAIN OK", flush=True)
 """.replace("{repo!r}", repr(REPO))
 
 
-def test_two_process_train_step_and_checkpoint(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["scan", "fused"])
+def test_two_process_train_step_and_checkpoint(tmp_path, impl):
     """The ACTUAL jitted G/D train step on a global (8,1) mesh across two
     processes: per-process batch slices feed the global array, two steps
     run, metrics match a single-process 8-way DP run of the same program,
     and a checkpoint saved by process 0 restores bit-exact on both
-    (round-2 VERDICT missing #4 / weak #3)."""
+    (round-2 VERDICT missing #4 / weak #3). impl='fused' repeats the run
+    with the custom-VJP Pallas BLSTM kernels inside shard_map across the
+    two processes (the kernel-mesh path under a true multi-process mesh)."""
     import json
 
     import numpy as np
 
     ckpt_dir = str(tmp_path / "mh_ckpt")
-    procs, outs = _spawn_pair(_TRAIN_CHILD, extra_args=(ckpt_dir,))
+    procs, outs = _spawn_pair(_TRAIN_CHILD, extra_args=(ckpt_dir, impl))
     metrics_by_pid = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
@@ -251,7 +271,20 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
         init_train_state, make_joint_train_step,
     )
 
+    import dataclasses
+
     jcfg = _tiny_config(12)
+    if impl != "scan":
+        jcfg = dataclasses.replace(
+            jcfg,
+            e2e=dataclasses.replace(
+                jcfg.e2e,
+                encoder=dataclasses.replace(
+                    jcfg.e2e.encoder, lstm_impl=impl
+                ),
+            ),
+            enhancer=dataclasses.replace(jcfg.enhancer, lstm_impl=impl),
+        )
     model = RobustE2E(jcfg)
     disc = Discriminator(jcfg.discriminator)
     tcfg = TrainConfig(optimizer="adadelta")
@@ -265,10 +298,13 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
     mesh = make_mesh(8, 1)
     state = shard_train_state(state, mesh)
     sharded = shard_batch(full, mesh)
+    from robust_e2e_gan_tpu.parallel.sharding import kernel_mesh
+
     step = make_joint_train_step(model, disc, jcfg, opt_g, opt_d,
                                  with_asr=True)
-    for _ in range(2):
-        state, metrics = step(state, sharded)
+    with kernel_mesh(mesh if impl != "scan" else None):
+        for _ in range(2):
+            state, metrics = step(state, sharded)
     ref = {k: float(v) for k, v in metrics.items()}
     for k, v in ref.items():
         assert abs(v - metrics_by_pid[0][k]) < 5e-4, (k, v, metrics_by_pid[0])
