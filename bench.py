@@ -101,7 +101,54 @@ def main():
     searcher = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=True)
 
     # --- batched (TPU-native) path ---
-    iters, dt = _timed(lambda: searcher(params, wav, lens).lengths)
+    # degradation ladder: if a fused serving kernel fails to compile on
+    # this platform, fall back toward the pure-XLA program rather than
+    # failing the headline benchmark (auto-selection is best-effort).
+    try:
+        iters, dt = _timed(lambda: searcher(params, wav, lens).lengths)
+    except Exception as e:
+        import sys
+
+        print(f"fused-step path failed ({str(e)[:120]}); "
+              "retrying with step_impl=xla", file=sys.stderr)
+        jcfg = dataclasses.replace(
+            jcfg,
+            e2e=dataclasses.replace(
+                jcfg.e2e,
+                decoder=dataclasses.replace(
+                    jcfg.e2e.decoder, step_impl="xla"
+                ),
+            ),
+        )
+        model = build_model(jcfg)
+        searcher = make_beam_searcher(
+            model, jcfg.e2e, bcfg, use_enhancer=True
+        )
+        try:
+            iters, dt = _timed(lambda: searcher(params, wav, lens).lengths)
+        except Exception as e2:
+            print(f"fused attention path failed ({str(e2)[:120]}); "
+                  "retrying all-XLA", file=sys.stderr)
+            jcfg = dataclasses.replace(
+                jcfg,
+                e2e=dataclasses.replace(
+                    jcfg.e2e,
+                    attention=dataclasses.replace(
+                        jcfg.e2e.attention, score_impl="xla"
+                    ),
+                    encoder=dataclasses.replace(
+                        jcfg.e2e.encoder, lstm_impl="scan"
+                    ),
+                ),
+                enhancer=dataclasses.replace(
+                    jcfg.enhancer, lstm_impl="scan"
+                ),
+            )
+            model = build_model(jcfg)
+            searcher = make_beam_searcher(
+                model, jcfg.e2e, bcfg, use_enhancer=True
+            )
+            iters, dt = _timed(lambda: searcher(params, wav, lens).lengths)
     utt_s = B * iters / dt
 
     # --- reference-style batch=1 loop (host-driven per-utterance decode) ---
