@@ -165,6 +165,10 @@ class E2EConfig:
     sos_id: int = 1  # shared <sos>/<eos> per ESPnet convention
     eos_id: int = 1
     ignore_id: int = -1  # label padding (ESPnet converter convention)
+    # CTC alpha-recursion impl: "scan" (XLA, oracle), "fused" (custom-VJP
+    # Mosaic kernels, ops/ctc_pallas.py; VMEM-plan fallback to scan),
+    # "auto" (fused on TPU). Parameters are impl-independent.
+    ctc_impl: str = "auto"
 
 
 @dataclass(frozen=True)

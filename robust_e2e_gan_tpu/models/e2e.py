@@ -92,6 +92,7 @@ class E2E(nn.Module):
             label_lengths,
             blank_id=self.cfg.blank_id,
             reduction="mean",
+            impl=getattr(self.cfg, "ctc_impl", "auto"),
         )
 
         # Attention branch

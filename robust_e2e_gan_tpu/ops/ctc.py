@@ -34,6 +34,7 @@ def ctc_loss(
     blank_id: int = 0,
     log_input: bool = False,
     reduction: str = "mean",
+    impl: str = "scan",
 ) -> jnp.ndarray:
     """Negative log-likelihood of the CTC alignment marginal.
 
@@ -46,6 +47,10 @@ def ctc_loss(
       blank_id: index of the CTC blank.
       reduction: "mean" (per-label-token, torch 'mean' semantics), "sum",
         or "none" -> (B,).
+      impl: alpha-recursion implementation — "scan" (XLA lax.scan, the
+        oracle), "fused" (ops/ctc_pallas.py custom-VJP Mosaic kernels;
+        falls back to scan when the shapes exceed the VMEM plan), "auto"
+        (fused on TPU).
 
     Returns the reduced loss. Fully differentiable w.r.t. logits.
     """
@@ -109,10 +114,24 @@ def ctc_loss(
         new_alpha = jnp.where(active, new_alpha, alpha)
         return new_alpha, None
 
-    ts = jnp.arange(1, t, dtype=jnp.int32)
-    alpha, _ = jax.lax.scan(
-        step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), ts)
-    )
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "scan"
+    use_fused = False
+    if impl == "fused":
+        from robust_e2e_gan_tpu.ops.ctc_pallas import (
+            ctc_alpha_final, ctc_alpha_fits,
+        )
+
+        use_fused = ctc_alpha_fits(t, b, s)
+    if use_fused:
+        alpha = ctc_alpha_final(
+            emit, alpha0, skip_add, pos_add, logit_lengths
+        )
+    else:
+        ts = jnp.arange(1, t, dtype=jnp.int32)
+        alpha, _ = jax.lax.scan(
+            step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), ts)
+        )
 
     # Final: logsumexp of positions 2*S_b and 2*S_b - 1.
     last = 2 * label_lengths.astype(jnp.int32)
