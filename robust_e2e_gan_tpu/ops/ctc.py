@@ -121,12 +121,21 @@ def ctc_loss(
         from robust_e2e_gan_tpu.ops.ctc_pallas import (
             ctc_alpha_final, ctc_alpha_fits,
         )
-
-        use_fused = ctc_alpha_fits(t, b, s)
-    if use_fused:
-        alpha = ctc_alpha_final(
-            emit, alpha0, skip_add, pos_add, logit_lengths
+        from robust_e2e_gan_tpu.parallel.sharding import (
+            local_kernel_batch,
         )
+
+        use_fused = ctc_alpha_fits(t, local_kernel_batch(b), s)
+    if use_fused:
+        from robust_e2e_gan_tpu.parallel.sharding import (
+            sharded_kernel_call,
+        )
+
+        # under a data mesh the kernel runs per-shard (shard_map); XLA
+        # cannot partition a pallas_call and would all-gather
+        alpha = sharded_kernel_call(
+            ctc_alpha_final, b, (True,) * 5
+        )(emit, alpha0, skip_add, pos_add, logit_lengths)
     else:
         ts = jnp.arange(1, t, dtype=jnp.int32)
         alpha, _ = jax.lax.scan(

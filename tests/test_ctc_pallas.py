@@ -106,3 +106,39 @@ def test_fused_fits_gate():
     labels = rng.integers(1, v, size=(b, s)).astype(np.int32)
     a, bb = _both(logits, llen, labels, slen)
     np.testing.assert_allclose(a, bb, rtol=0, atol=1e-5)
+
+
+def test_fused_ctc_under_data_mesh_no_gather():
+    """impl='fused' under the ambient kernel mesh: per-shard shard_map,
+    no all-gathers, gradients equal the unsharded scan run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from robust_e2e_gan_tpu.parallel.sharding import kernel_mesh, make_mesh
+
+    rng = np.random.default_rng(11)
+    b, t, v, s = 8, 16, 8, 4
+    logits = jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32))
+    llen = jnp.asarray(rng.integers(s + 2, t + 1, size=b), jnp.int32)
+    slen = jnp.asarray(rng.integers(1, s + 1, size=b), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, v, size=(b, s)), jnp.int32)
+
+    g_ref = jax.grad(
+        lambda x: ctc_loss(x, llen, labels, slen, impl="scan")
+    )(logits)
+
+    mesh = make_mesh(8, 1)
+    sh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(logits, sh)
+    ll = jax.device_put(llen, sh)
+    lb = jax.device_put(labels, sh)
+    sl = jax.device_put(slen, sh)
+    with kernel_mesh(mesh):
+        g = jax.jit(jax.grad(
+            lambda x, a, c, d: ctc_loss(x, a, c, d, impl="fused")
+        ))
+        txt = g.lower(xs, ll, lb, sl).compile().as_text()
+        assert txt.count("all-gather") == 0
+        gv = g(xs, ll, lb, sl)
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(g_ref), rtol=0, atol=2e-6
+    )
