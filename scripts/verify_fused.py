@@ -94,6 +94,45 @@ def main(steps=300):
         )
     print("fused-train BLSTM grads == scan on chip")
 
+    # ---- 2b. fused CTC loss grads vs scan, compiled on chip ----
+    from robust_e2e_gan_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(2)
+    bb_, tt_, vv_, ss_ = 8, 40, 12, 10
+    logits = jnp.asarray(
+        rng.standard_normal((bb_, tt_, vv_)).astype(np.float32)
+    )
+    llen = jnp.asarray(rng.integers(ss_ + 2, tt_ + 1, size=bb_), jnp.int32)
+    slen = jnp.asarray(rng.integers(1, ss_ + 1, size=bb_), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, vv_, size=(bb_, ss_)), jnp.int32)
+    gs = jax.jit(jax.grad(
+        lambda x: ctc_loss(x, llen, labels, slen, impl="scan")))(logits)
+    gf = jax.jit(jax.grad(
+        lambda x: ctc_loss(x, llen, labels, slen, impl="fused")))(logits)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gs), rtol=0, atol=1e-5
+    )
+    print("fused CTC grads == scan on chip")
+
+    # ---- 2c. fused LM step vs XLA, compiled on chip ----
+    from robust_e2e_gan_tpu.models.lm import LMConfig, RNNLM
+
+    lmc_x = LMConfig(vocab_size=VOCAB, embed_dim=32, hidden_dim=64,
+                     step_impl="xla")
+    lmc_f = dataclasses.replace(lmc_x, step_impl="fused")
+    tokn = jnp.asarray(rng.integers(0, VOCAB, size=(32,)), jnp.int32)
+    lm_x = RNNLM(lmc_x)
+    lm_params = lm_x.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 4), jnp.int32))
+    h0 = jnp.asarray(rng.standard_normal((1, 32, 64)), jnp.float32) * 0.3
+    c0 = jnp.asarray(rng.standard_normal((1, 32, 64)), jnp.float32) * 0.3
+    (hx, cx), lx = lm_x.apply(lm_params, (h0, c0), tokn, method=RNNLM.step)
+    lm_f = RNNLM(lmc_f)
+    (hf, cf), lf = lm_f.apply(lm_params, (h0, c0), tokn, method=RNNLM.step)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lf),
+                               rtol=0, atol=1e-4)
+    print("fused LM step == XLA on chip")
+
     # ---- 1. train briefly, then fused vs XLA search on chip ----
     rng = np.random.default_rng(1)
     seg = int(SCFG.tone_ms * SCFG.sample_rate / 1000.0)
