@@ -114,6 +114,10 @@ class DecoderConfig:
     dropout_rate: float = 0.0
     label_smoothing: float = 0.0
     sampling_probability: float = 0.0  # scheduled sampling
+    # Teacher-forcing scan unroll for TRAINING (0 = no unroll): like the
+    # BLSTM scan_unroll, lets XLA software-pipeline several decode steps
+    # per loop iteration in the per-token attention/cell chain.
+    scan_unroll: int = 0
     # Beam-mode step implementation: "xla" (reference-exact), "fused"
     # (ops/att_pallas.py att_dec_step_fused — attention + embedding +
     # LSTM cell + readout in ONE Mosaic program; requires num_layers=1,

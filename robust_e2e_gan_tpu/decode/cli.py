@@ -123,6 +123,7 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
                 jcfg.e2e.encoder, scan_unroll=0, lstm_impl="auto",
                 gate_storage="f32",  # decode is forward-only: keep exact
             ),
+            decoder=_dc.replace(jcfg.e2e.decoder, scan_unroll=0),
         ),
         enhancer=_dc.replace(
             jcfg.enhancer, scan_unroll=0, lstm_impl="auto",

@@ -210,6 +210,7 @@ class Decoder(nn.Module):
             split_rngs={"params": False, "sampling": True},
             in_axes=1,
             out_axes=1,
+            unroll=max(self.dcfg.scan_unroll, 1),
         )
         _, (logits, atts) = scan(self.step_mod, carry0, ys_in)
         return logits, atts

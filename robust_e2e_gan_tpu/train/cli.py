@@ -163,6 +163,7 @@ def configs_from_args(args, vocab_size: int):
                 vocab_size=vocab_size, embed_dim=args.dec_embed,
                 hidden_dim=args.dec_hidden,
                 label_smoothing=args.label_smoothing,
+                scan_unroll=args.scan_unroll,
             ),
             mtlalpha=args.mtlalpha,
         ),

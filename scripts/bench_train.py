@@ -47,6 +47,17 @@ def time_step(compute_dtype: str, unroll: int, lstm_impl: str = "scan"):
     jcfg = dataclasses.replace(
         _flagship_config(VOCAB), compute_dtype=compute_dtype
     )
+    # the decoder's teacher-forcing scan unrolls with the same sweep value
+    # (mirrors the train CLI, where --scan-unroll drives both)
+    jcfg = dataclasses.replace(
+        jcfg,
+        e2e=dataclasses.replace(
+            jcfg.e2e,
+            decoder=dataclasses.replace(
+                jcfg.e2e.decoder, scan_unroll=unroll
+            ),
+        ),
+    )
     if lstm_impl != "scan":
         jcfg = dataclasses.replace(
             jcfg,
