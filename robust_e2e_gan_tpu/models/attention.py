@@ -200,12 +200,9 @@ class AttLoc(nn.Module):
         return self._finish(e, mask, enc, att_prev, beam)
 
     def _fused_score(self) -> bool:
-        impl = getattr(self.cfg, "score_impl", "auto")
-        if impl == "fused":
-            return True
-        if impl == "auto":
-            return jax.default_backend() == "tpu"
-        return False
+        from robust_e2e_gan_tpu.utils.impl import fused_enabled
+
+        return fused_enabled(getattr(self.cfg, "score_impl", "auto"))
 
     def _finish(self, e, mask, enc, att_prev, beam):
         """Masked softmax + context shared by the XLA score paths."""

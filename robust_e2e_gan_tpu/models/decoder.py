@@ -163,12 +163,9 @@ class DecoderStep(nn.Module):
         kernel plan)."""
         if self.dcfg.num_layers != 1 or self.acfg.variant != "location":
             return False
-        impl = getattr(self.dcfg, "step_impl", "auto")
-        if impl == "fused":
-            return True
-        if impl == "auto":
-            return jax.default_backend() == "tpu"
-        return False
+        from robust_e2e_gan_tpu.utils.impl import fused_enabled
+
+        return fused_enabled(getattr(self.dcfg, "step_impl", "auto"))
 
 
 class Decoder(nn.Module):

@@ -131,12 +131,9 @@ class LMStep(nn.Module):
         return (jnp.stack(hs), jnp.stack(cs)), logits
 
     def _fused_step(self) -> bool:
-        impl = getattr(self.cfg, "step_impl", "auto")
-        if impl == "fused":
-            return True
-        if impl == "auto":
-            return jax.default_backend() == "tpu"
-        return False
+        from robust_e2e_gan_tpu.utils.impl import fused_enabled
+
+        return fused_enabled(getattr(self.cfg, "step_impl", "auto"))
 
 
 class RNNLM(nn.Module):

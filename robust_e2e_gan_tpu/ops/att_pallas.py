@@ -137,6 +137,14 @@ def _att_one(bi, k, tp, cp, sharpening, cdtype, feat_ref, ept_ref, enc_ref,
     )  # (K, E) f32
 
 
+def pad_gate_rows(w, rows, rowsp, h, hp):
+    """Pad (rows, 4h) LSTM weights to (rowsp, 4hp) in per-gate blocks
+    (shared by the decoder-step and LM-step kernels)."""
+    w = w.reshape(rows, 4, h)
+    w = jnp.pad(w, ((0, rowsp - rows), (0, 0), (0, hp - h)))
+    return w.reshape(rowsp, 4 * hp)
+
+
 def att_loc_plan(b, k, t, c, a, e, cdtype, block_b=None):
     """Pick the utterance tile (block_b) for these shapes, or None when
     they exceed this kernel's working-set budget (caller uses XLA)."""
@@ -494,14 +502,9 @@ def att_dec_step_fused(
         emb_table.astype(cdtype), ((0, vp - v), (0, embp - embd))
     )
 
-    def pad_gates(w, rows, rowsp):
-        w = w.reshape(rows, 4, h)
-        w = jnp.pad(w, ((0, rowsp - rows), (0, 0), (0, hp - h)))
-        return w.reshape(rowsp, 4 * hp)
-
-    wxe = pad_gates(cell_wx[:embd].astype(cdtype), embd, embp)
-    wxc = pad_gates(cell_wx[embd:].astype(cdtype), e, ep_)
-    whc = pad_gates(cell_wh.astype(cdtype), h, hp)
+    wxe = pad_gate_rows(cell_wx[:embd].astype(cdtype), embd, embp, h, hp)
+    wxc = pad_gate_rows(cell_wx[embd:].astype(cdtype), e, ep_, h, hp)
+    whc = pad_gate_rows(cell_wh.astype(cdtype), h, hp, h, hp)
     bcell = jnp.pad(
         cell_bias.astype(jnp.float32).reshape(4, h), ((0, 0), (0, hp - h))
     ).reshape(1, 4 * hp)

@@ -114,10 +114,10 @@ def ctc_loss(
         new_alpha = jnp.where(active, new_alpha, alpha)
         return new_alpha, None
 
-    if impl == "auto":
-        impl = "fused" if jax.default_backend() == "tpu" else "scan"
+    from robust_e2e_gan_tpu.utils.impl import fused_enabled
+
     use_fused = False
-    if impl == "fused":
+    if fused_enabled(impl):
         from robust_e2e_gan_tpu.ops.ctc_pallas import (
             ctc_alpha_final, ctc_alpha_fits,
         )

@@ -34,19 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from robust_e2e_gan_tpu.ops.blstm_pallas import _round_up
+from robust_e2e_gan_tpu.ops.blstm_pallas import _lane_tile, _round_up
 
 _NEG_INF = -1e30
 _NEG_THRESH = -5e29  # sentinel compare threshold (shift matmuls round)
 _VMEM_LIMIT = 100 * 1024 * 1024
 _BUDGET = 56 * 1024 * 1024
-
-
-def _lane_tile(x, lanes):
-    l = x.shape[-1]
-    if l == lanes:
-        return x
-    return jnp.concatenate([x] * (lanes // l), axis=-1)
 
 
 def _shift_consts(up):
@@ -62,6 +55,8 @@ def _shift_consts(up):
 
 
 def _fwd_kernel(t1: int, b: int, up: int):
+    """Forward with the full alpha trajectory out (for the backward)."""
+
     def kernel(emit_ref, a0_ref, skip_ref, pos_ref, len_ref,
                hist_ref, afin_ref, s1_scr, s2_scr):
         # emit_ref: (T1, B, Up) f32 — emission scores for steps 1..T-1
@@ -96,6 +91,42 @@ def _fwd_kernel(t1: int, b: int, up: int):
             new_alpha = active * na + (1.0 - active) * alpha
             hist_ref[pl.ds(i + 1, 1)] = new_alpha[None]
             return new_alpha
+
+        afin_ref[...] = jax.lax.fori_loop(0, t1, body, a0_ref[...])
+
+    return kernel
+
+
+def _fwd_only_kernel(t1: int, b: int, up: int):
+    """Forward without the trajectory output (no-grad/eval calls)."""
+
+    def kernel(emit_ref, a0_ref, skip_ref, pos_ref, len_ref,
+               afin_ref, s1_scr, s2_scr):
+        s1, s2, neg1, neg2 = _shift_consts(up)
+        s1_scr[...] = s1
+        s2_scr[...] = s2
+
+        def body(i, alpha):
+            t_idx = (i + 1).astype(jnp.float32)
+            sh1 = jax.lax.dot(
+                alpha, s1_scr[...], preferred_element_type=jnp.float32
+            ) + neg1
+            sh2 = jax.lax.dot(
+                alpha, s2_scr[...], preferred_element_type=jnp.float32
+            ) + neg2 + skip_ref[...]
+            m = jnp.maximum(jnp.maximum(alpha, sh1), sh2)
+            safe_m = jnp.where(m <= _NEG_THRESH, 0.0, m)
+            summed = jnp.maximum(
+                jnp.exp(alpha - safe_m) + jnp.exp(sh1 - safe_m)
+                + jnp.exp(sh2 - safe_m),
+                1e-37,
+            )
+            na = jnp.where(
+                m <= _NEG_THRESH, _NEG_INF, safe_m + jnp.log(summed)
+            ) + emit_ref[i] + pos_ref[...]
+            na = jnp.maximum(na, _NEG_INF)
+            active = jnp.where(t_idx < len_ref[...], 1.0, 0.0)
+            return active * na + (1.0 - active) * alpha
 
         afin_ref[...] = jax.lax.fori_loop(0, t1, body, a0_ref[...])
 
@@ -168,18 +199,22 @@ def ctc_alpha_fits(t: int, b: int, s: int) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_alpha_fn(t1, b, bp, up, interpret):
-    def fwd_call(emit1, a0, skip, pos, lens):
-        return pl.pallas_call(
-            _fwd_kernel(t1, bp, up),
-            out_shape=(
-                jax.ShapeDtypeStruct((t1 + 1, bp, up), jnp.float32),
-                jax.ShapeDtypeStruct((bp, up), jnp.float32),
-            ),
+def _make_alpha_fn(t1, bp, up, interpret):
+    def fwd_call(emit1, a0, skip, pos, lens, with_hist):
+        # with_hist=False: forward-only (no-grad) calls skip the
+        # trajectory output entirely (the hist write is dead there)
+        out_shape = [jax.ShapeDtypeStruct((bp, up), jnp.float32)]
+        if with_hist:
+            out_shape.insert(
+                0, jax.ShapeDtypeStruct((t1 + 1, bp, up), jnp.float32)
+            )
+        res = pl.pallas_call(
+            _fwd_kernel(t1, bp, up) if with_hist
+            else _fwd_only_kernel(t1, bp, up),
+            out_shape=tuple(out_shape),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape
             ),
             scratch_shapes=[
                 pltpu.VMEM((up, up), jnp.float32),
@@ -195,6 +230,7 @@ def _make_alpha_fn(t1, b, bp, up, interpret):
                 transcendentals=4 * t1 * bp * up,
             ),
         )(emit1, a0, skip, pos, lens)
+        return res if with_hist else (None, res[0])
 
     def bwd_call(emit1, skip, pos, lens, hist, dfin):
         return pl.pallas_call(
@@ -226,7 +262,7 @@ def _make_alpha_fn(t1, b, bp, up, interpret):
         )(emit1, skip, pos, lens, hist, dfin)
 
     def fwd(emit1, a0, skip, pos, lens):
-        hist, afin = fwd_call(emit1, a0, skip, pos, lens)
+        hist, afin = fwd_call(emit1, a0, skip, pos, lens, True)
         return afin, (emit1, skip, pos, lens, hist)
 
     def bwd(res, dfin):
@@ -238,7 +274,8 @@ def _make_alpha_fn(t1, b, bp, up, interpret):
 
     @jax.custom_vjp
     def fn(emit1, a0, skip, pos, lens):
-        return fwd(emit1, a0, skip, pos, lens)[0]
+        # primal (no-grad) path: hist-free forward
+        return fwd_call(emit1, a0, skip, pos, lens, False)[1]
 
     fn.defvjp(fwd, bwd)
     return fn
@@ -289,6 +326,6 @@ def ctc_alpha_final(
         ),
         up,
     )
-    fn = _make_alpha_fn(t1, b, bp, up, bool(interpret))
+    fn = _make_alpha_fn(t1, bp, up, bool(interpret))
     afin = fn(emit1, a0, skip, pos, lens)
     return afin[:b, :u]

@@ -138,10 +138,10 @@ def lm_step_fused(
     hp = _round_up(h, 128)
     np_ = _round_up(n, 8)
 
+    from robust_e2e_gan_tpu.ops.att_pallas import pad_gate_rows
+
     def pad_gates(w, rows, rowsp):
-        w = w.reshape(rows, 4, h)
-        w = jnp.pad(w, ((0, rowsp - rows), (0, 0), (0, hp - h)))
-        return w.reshape(rowsp, 4 * hp)
+        return pad_gate_rows(w, rows, rowsp, h, hp)
 
     tokr = jnp.pad(
         jnp.broadcast_to(tok.astype(jnp.float32)[:, None], (n, 128)),
