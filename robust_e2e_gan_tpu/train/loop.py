@@ -129,6 +129,9 @@ def train(
 
     logger = MetricLogger(log_dir, name=mode)
     timer = StepTimer()
+    # serialize+write run off-thread so checkpoints don't stall training
+    # (the device->host pull stays synchronous; see AsyncCheckpointer)
+    saver = ckpt_lib.AsyncCheckpointer()
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         # context manager releases the prefetch thread if a step raises
@@ -142,7 +145,7 @@ def train(
                     logger.log(step, metrics, prefix=f"epoch {epoch} ")
                 if save_every_steps and step % save_every_steps == 0:
                     # preemption safety net between per-epoch checkpoints
-                    ckpt_lib.save_checkpoint(
+                    saver.save(
                         tcfg.checkpoint_dir, state, step, metric=None,
                         keep=3,
                         extra={"epoch": epoch, "epoch_complete": False,
@@ -181,12 +184,13 @@ def train(
                 print(f"[{mode}] dev plateau at epoch {epoch}: "
                       f"eps *= {tcfg.eps_decay}", flush=True)
 
-        ckpt_lib.save_checkpoint(
+        saver.save(
             tcfg.checkpoint_dir, state, int(state.step),
             metric=dev_acc, keep=3,
             extra={"epoch": epoch, "epoch_complete": True,
                    "best_acc": best_acc},
         )
 
+    saver.wait()  # the final checkpoint must be durable before returning
     logger.close()
     return state, model, disc

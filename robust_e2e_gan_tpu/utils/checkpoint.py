@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -63,8 +64,24 @@ def save_checkpoint(
     'latest' entry (epoch counter, plateau best_acc, steps_per_epoch) so the
     train loop can resume its schedule without re-scanning the corpus.
     """
+    return _save_hosted(
+        ckpt_dir, _to_host(state), step, metric, keep, best_mode, extra
+    )
+
+
+def _save_hosted(
+    ckpt_dir: str,
+    host_state: Any,
+    step: int,
+    metric: Optional[float] = None,
+    keep: int = 3,
+    best_mode: str = "max",
+    extra: Optional[Dict] = None,
+) -> str:
+    """save_checkpoint body on an already host-pulled pytree (worker-thread
+    safe: no device access, no collectives)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    data = serialization.to_bytes(_to_host(state))
+    data = serialization.to_bytes(host_state)
     path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
     fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
     try:
@@ -103,6 +120,60 @@ def save_checkpoint(
     _write_meta(ckpt_dir, meta)
     _prune(ckpt_dir, meta, keep)
     return path
+
+
+class AsyncCheckpointer:
+    """Checkpoint saves off the training thread.
+
+    The reference's torch.save blocks the epoch loop for the full
+    serialize+write; here only the device->host pull stays synchronous
+    (the next step may donate those buffers, and in multi-process runs
+    the pull can involve a collective, which must not run off-thread) —
+    msgpack serialization, the atomic file write, sidecar update and
+    pruning all run on a single worker. At most one save is in flight:
+    a new save (or ``wait()``) joins the previous one first, preserving
+    sidecar ordering and bounding host memory to one snapshot. Worker
+    exceptions re-raise on the next save()/wait().
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, ckpt_dir: str, state: Any, step: int, **kw) -> None:
+        host_state = _to_host(state)  # sync: donation + collective safety
+        self.wait()
+
+        def work():
+            try:
+                _save_hosted(ckpt_dir, host_state, step, **kw)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=work, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        # drain the in-flight write even on error exits; swallow worker
+        # errors only if the body is already raising
+        try:
+            self.wait()
+        except BaseException:
+            if exc[0] is None:
+                raise
 
 
 def restore_checkpoint(

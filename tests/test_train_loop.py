@@ -245,3 +245,53 @@ while True:
         np.testing.assert_array_equal(
             st["w"], np.full((1024, 1024), float(step), np.float32)
         )
+
+
+def test_async_checkpointer(tmp_path):
+    """AsyncCheckpointer: identical artifacts to the sync save, strict
+    ordering across rapid saves, worker errors re-raised on wait()."""
+    import json
+
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "step": jnp.asarray(7)}
+    sync_dir = str(tmp_path / "sync")
+    async_dir = str(tmp_path / "async")
+    ckpt.save_checkpoint(sync_dir, state, 7, metric=0.5,
+                         extra={"epoch": 1})
+
+    with ckpt.AsyncCheckpointer() as saver:
+        saver.save(async_dir, state, 7, metric=0.5, extra={"epoch": 1})
+        # rapid second save: must land after the first (latest == step 9)
+        state2 = {"w": state["w"] * 2, "step": jnp.asarray(9)}
+        saver.save(async_dir, state2, 9, metric=0.7, extra={"epoch": 2})
+    # after the context exits, both writes are durable
+    with open(os.path.join(sync_dir, "ckpt_7.msgpack"), "rb") as f:
+        want = f.read()
+    with open(os.path.join(async_dir, "ckpt_7.msgpack"), "rb") as f:
+        got = f.read()
+    assert want == got
+    meta = json.load(open(os.path.join(async_dir, "checkpoints.json")))
+    assert meta["latest"]["step"] == 9
+    assert meta["best"]["step"] == 9  # 0.7 beat 0.5
+    restored, step = ckpt.restore_checkpoint(async_dir, state, "latest")
+    assert step == 9
+    np.testing.assert_array_equal(
+        np.asarray(restored["w"]), np.asarray(state2["w"])
+    )
+
+    # donation-safety: mutating/rebinding the device state after save()
+    # returns must not affect the in-flight write (host pull is eager)
+    saver2 = ckpt.AsyncCheckpointer()
+    s3 = {"w": jnp.ones((2, 2)), "step": jnp.asarray(11)}
+    saver2.save(async_dir, s3, 11)
+    del s3
+    saver2.wait()
+    r3, _ = ckpt.restore_checkpoint(async_dir, state, "latest")
+    np.testing.assert_array_equal(np.asarray(r3["w"]), np.ones((2, 2)))
+
+    # error propagation: unwritable target raises on wait()
+    bad = ckpt.AsyncCheckpointer()
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a file, not a directory")
+    bad.save(str(blocked), state, 1)
+    with pytest.raises(Exception):
+        bad.wait()
