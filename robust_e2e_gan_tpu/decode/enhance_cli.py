@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--domain", choices=("logmel", "power"), default="logmel")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--length-buckets", default="32000,64000,112000,160000")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel enhancement: shard each batch over "
+                        "this many devices (like decode --mesh-data)")
     return p
 
 
@@ -50,6 +53,15 @@ def main(argv: Optional[list] = None) -> None:
     model, disc, state, jcfg, tok, step, _, _ = load_experiment(
         args.ckpt_dir, args.which
     )
+
+    mesh = None
+    if args.mesh_data > 1:
+        from robust_e2e_gan_tpu.parallel import make_mesh
+        from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
+        set_kernel_mesh(mesh)  # Pallas kernels shard_map over this mesh
+        print(f"data-parallel enhancement over {args.mesh_data} devices")
 
     @jax.jit
     def enhance_fn(params, wav, lens):
@@ -77,13 +89,20 @@ def main(argv: Optional[list] = None) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     ark, scp = args.out + ".ark", args.out + ".scp"
 
+    def to_device(arrs):
+        # ragged final batches fall back to single-device placement
+        if mesh is not None and arrs[0].shape[0] % args.mesh_data == 0:
+            from robust_e2e_gan_tpu.parallel import shard_batch
+
+            return list(shard_batch(dict(enumerate(arrs)), mesh).values())
+        return [jnp.asarray(a) for a in arrs]
+
     def entries():
         for batch in batcher.epoch(shuffle=False):
-            feats, fmask = enhance_fn(
-                state.params_g,
-                jnp.asarray(batch["noisy_wav"]),
-                jnp.asarray(batch["wav_lengths"]),
+            wav, lens = to_device(
+                [batch["noisy_wav"], batch["wav_lengths"]]
             )
+            feats, fmask = enhance_fn(state.params_g, wav, lens)
             feats = np.asarray(feats)
             nf = np.asarray(jnp.sum(fmask, axis=-1)).astype(int)
             for j, uid in enumerate(batch["utt_ids"]):

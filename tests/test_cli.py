@@ -529,3 +529,40 @@ def test_score_cli_and_unified_entry(tmp_path, capsys):
     assert "%WER" in capsys.readouterr().out
     with pytest.raises(SystemExit):
         pkg_main(["nonsense"])
+
+
+def test_enhance_cli_mesh_data(manifest, tmp_path):
+    """enhance_cli --mesh-data: sharded batches produce the same features
+    as the single-device run."""
+    ckpt = str(tmp_path / "exp_em")
+    train_cli.main([
+        "--mode", "gan",
+        "--train-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+    ])
+    from robust_e2e_gan_tpu.data import kaldi_io
+    from robust_e2e_gan_tpu.decode import enhance_cli
+    from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
+
+    out1 = str(tmp_path / "enh1" / "feats")
+    enhance_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out1,
+        "--batch-size", "8", "--length-buckets", "16000",
+    ])
+    out8 = str(tmp_path / "enh8" / "feats")
+    enhance_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out8,
+        "--batch-size", "8", "--length-buckets", "16000",
+        "--mesh-data", "8",
+    ])
+    set_kernel_mesh(None)  # clear the ambient mesh for later tests
+    a = dict(kaldi_io.read_mat_scp(out1 + ".scp"))
+    b = dict(kaldi_io.read_mat_scp(out8 + ".scp"))
+    assert a.keys() == b.keys() and len(a) == 8
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5)
