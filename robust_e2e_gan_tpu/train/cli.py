@@ -143,6 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-data", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--save-every-steps", type=int, default=0,
+                   help="mid-epoch checkpoint every N steps (preemption "
+                        "safety net; 0 = per-epoch only)")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="host batch-prefetch queue depth")
     return p
 
 
@@ -417,6 +422,8 @@ def main(argv: Optional[list] = None) -> None:
         init_from=args.init_from, cmvn_stats=cmvn_stats,
         input_kind=_input_kind(args),
         log_domain=args.feats_kind == "log-spectrogram",
+        save_every_steps=args.save_every_steps,
+        prefetch_depth=args.prefetch_depth,
     )
 
 
