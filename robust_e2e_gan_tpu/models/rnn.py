@@ -198,24 +198,29 @@ class BLSTM(nn.Module):
             return ys.astype(self.dtype)
         if impl == "fused":
             from robust_e2e_gan_tpu.ops.blstm_train_pallas import (
-                blstm_train, fused_train_fits,
+                blstm_train, blstm_train_gx, fused_train_fits,
             )
             from robust_e2e_gan_tpu.parallel.sharding import (
                 local_kernel_batch, sharded_kernel_call,
             )
 
-            if fused_train_fits(
-                local_kernel_batch(b), t, d, h,
-                jnp.dtype(self.dtype).itemsize,
-            ):
-                lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
-                call = sharded_kernel_call(
-                    blstm_train, b, (True, True, False, False, False)
+            # W_x-resident kernel when it fits; otherwise the gate-stream
+            # variant (input projection outside, fits any input dim) —
+            # e.g. the encoder's VGG-output layer
+            fn = (
+                blstm_train
+                if fused_train_fits(
+                    local_kernel_batch(b), t, d, h,
+                    jnp.dtype(self.dtype).itemsize,
                 )
-                ys = call(x, lengths, wx, wh, bias)
-                return ys.astype(self.dtype)
-            # layer too large for the fused-train VMEM budget (e.g. the
-            # encoder's VGG-output layer): fall through to the scan path
+                else blstm_train_gx
+            )
+            lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+            call = sharded_kernel_call(
+                fn, b, (True, True, False, False, False)
+            )
+            ys = call(x, lengths, wx, wh, bias)
+            return ys.astype(self.dtype)
 
         xs = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, D)
         ms = jnp.stack([mask, jnp.flip(mask, axis=1)])  # (2, B, T)

@@ -629,3 +629,435 @@ def blstm_train(
         bool(interpret),
     )
     return fn(x, lengths, wx, wh, bias)
+
+
+# --------------------------------------------------------------------------
+# gate-stream ("gx") training variant: arbitrary input dims
+# --------------------------------------------------------------------------
+#
+# When W_x exceeds the VMEM budget (the encoder's VGG-output layer,
+# D = 2560 at reference scale), the input projection stays OUTSIDE the
+# kernel as one big differentiable XLA einsum — autodiff covers dW_x, dx
+# and dbias through it — and the kernels handle only the serial recursion:
+# the forward streams pre-projected gate chunks in and the masked h/c
+# residual streams out; the backward re-reads the gate stream, recomputes
+# gh from the h stream as batched matmuls, runs the serial adjoint, and
+# streams d(gates) back out as the einsum's cotangent. W_h and its f32
+# gradient accumulator are the only VMEM-resident weights, so this variant
+# fits ANY input dim. Same interval-mask residual argument as the fused
+# variant above.
+
+
+def _fwd_gx_kernel(tp: int, f: int, b: int, hp: int, cdtype):
+    n_chunks = tp // f
+
+    def kernel(gx_hbm, wh_ref, s_ref, e_ref, y_hbm, c_hbm,
+               h_scr, c_scr, gbuf, ybuf, cbuf, zbuf, zcbuf,
+               gsem, ysem, csem, zsem):
+        # gx_hbm: (2, Tp, B, 4Hp) f32 — pre-projected gates (incl. bias)
+
+        def fetch(z, c, slot):
+            return pltpu.make_async_copy(
+                gx_hbm.at[z, pl.ds(c * f, f)], gbuf.at[slot, z],
+                gsem.at[slot, z],
+            )
+
+        def put_y(z, c, slot):
+            return pltpu.make_async_copy(
+                ybuf.at[slot, z], y_hbm.at[z, pl.ds(1 + c * f, f)],
+                ysem.at[slot, z],
+            )
+
+        def put_c(z, c, slot):
+            return pltpu.make_async_copy(
+                cbuf.at[slot, z], c_hbm.at[z, pl.ds(1 + c * f, f)],
+                csem.at[slot, z],
+            )
+
+        h_scr[...] = jnp.zeros((2, b, hp), jnp.float32)
+        c_scr[...] = jnp.zeros((2, b, hp), jnp.float32)
+        zbuf[...] = jnp.zeros((1, b, hp), cdtype)
+        zcbuf[...] = jnp.zeros((1, b, hp), jnp.float32)
+        for z in (0, 1):
+            fetch(z, 0, 0).start()
+            pltpu.make_async_copy(
+                zbuf, y_hbm.at[z, pl.ds(0, 1)], zsem.at[0, z]
+            ).start()
+            pltpu.make_async_copy(
+                zcbuf, c_hbm.at[z, pl.ds(0, 1)], zsem.at[1, z]
+            ).start()
+        for z in (0, 1):
+            pltpu.make_async_copy(
+                zbuf, y_hbm.at[z, pl.ds(0, 1)], zsem.at[0, z]
+            ).wait()
+            pltpu.make_async_copy(
+                zcbuf, c_hbm.at[z, pl.ds(0, 1)], zsem.at[1, z]
+            ).wait()
+
+        def body(c, carry):
+            slot = jax.lax.rem(c, 2)
+            for z in (0, 1):
+                fetch(z, c, slot).wait()
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for z in (0, 1):
+                    fetch(z, c + 1, 1 - slot).start()
+
+            @pl.when(c >= 2)
+            def _():
+                for z in (0, 1):
+                    put_y(z, c - 2, slot).wait()
+                    put_c(z, c - 2, slot).wait()
+
+            for fi in range(f):
+                tf = (c * f + fi).astype(jnp.float32)
+                for z in (0, 1):
+                    h_prev = h_scr[z]
+                    c_prev = c_scr[z]
+                    gh = jnp.dot(
+                        h_prev.astype(cdtype), wh_ref[z],
+                        preferred_element_type=jnp.float32,
+                    )
+                    gates = gbuf[slot, z, fi] + gh
+                    gi = gates[:, 0 * hp:1 * hp]
+                    gf = gates[:, 1 * hp:2 * hp]
+                    gg = gates[:, 2 * hp:3 * hp]
+                    go = gates[:, 3 * hp:4 * hp]
+                    c_new = (_sigmoid(gf) * c_prev
+                             + _sigmoid(gi) * jnp.tanh(gg))
+                    h_new = _sigmoid(go) * jnp.tanh(c_new)
+                    m = _lane_tile(
+                        jnp.where(
+                            (tf >= s_ref[z]) & (tf < e_ref[z]), 1.0, 0.0
+                        ),
+                        hp,
+                    )
+                    c_out = m * c_new + (1.0 - m) * c_prev
+                    h_out = m * h_new + (1.0 - m) * h_prev
+                    h_scr[z] = h_out
+                    c_scr[z] = c_out
+                    ybuf[slot, z, fi] = (h_out * m).astype(cdtype)
+                    cbuf[slot, z, fi] = c_out * m
+
+            for z in (0, 1):
+                put_y(z, c, slot).start()
+                put_c(z, c, slot).start()
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+        for back in (2, 1):
+            c = n_chunks - back  # static
+            if c >= 0:
+                for z in (0, 1):
+                    put_y(z, c, c % 2).wait()
+                    put_c(z, c, c % 2).wait()
+
+    return kernel
+
+
+def _bwd_gx_kernel(tp: int, f: int, b: int, hp: int, cdtype):
+    n_chunks = tp // f
+    nt = (((1,), (1,)), ((), ()))
+    tn = (((0,), (0,)), ((), ()))
+
+    def kernel(gx_hbm, y_hbm, c_hbm, dy_hbm, wh_ref, s_ref, e_ref,
+               dgx_hbm, dwh_ref,
+               dh_scr, dc_scr, gbuf, ybuf, cbuf, dybuf, prebuf, dgbuf,
+               gsem, ysem, csem, dysem, dgsem):
+        # outputs: dgx (2, Tp, B, 4Hp) f32 stream; dwh (2, Hp, 4Hp) f32
+
+        def fetch_g(z, c, slot):
+            return pltpu.make_async_copy(
+                gx_hbm.at[z, pl.ds(c * f, f)], gbuf.at[slot, z],
+                gsem.at[slot, z],
+            )
+
+        def fetch_y(z, c, slot):
+            return pltpu.make_async_copy(
+                y_hbm.at[z, pl.ds(c * f, f)], ybuf.at[slot, z],
+                ysem.at[slot, z],
+            )
+
+        def fetch_c(z, c, slot):
+            return pltpu.make_async_copy(
+                c_hbm.at[z, pl.ds(c * f, f + 1)], cbuf.at[slot, z],
+                csem.at[slot, z],
+            )
+
+        def fetch_dy(z, c, slot):
+            return pltpu.make_async_copy(
+                dy_hbm.at[z, pl.ds(c * f, f)], dybuf.at[slot, z],
+                dysem.at[slot, z],
+            )
+
+        def put_dg(z, c, slot):
+            return pltpu.make_async_copy(
+                dgbuf.at[slot, z], dgx_hbm.at[z, pl.ds(c * f, f)],
+                dgsem.at[slot, z],
+            )
+
+        dh_scr[...] = jnp.zeros((2, b, hp), jnp.float32)
+        dc_scr[...] = jnp.zeros((2, b, hp), jnp.float32)
+        dwh_ref[...] = jnp.zeros((2, hp, 4 * hp), jnp.float32)
+
+        c0 = n_chunks - 1
+        for z in (0, 1):
+            fetch_g(z, c0, 0).start()
+            fetch_y(z, c0, 0).start()
+            fetch_c(z, c0, 0).start()
+            fetch_dy(z, c0, 0).start()
+
+        def body(k, carry):
+            c = n_chunks - 1 - k
+            slot = jax.lax.rem(k, 2)
+            for z in (0, 1):
+                fetch_g(z, c, slot).wait()
+                fetch_y(z, c, slot).wait()
+                fetch_c(z, c, slot).wait()
+                fetch_dy(z, c, slot).wait()
+
+            @pl.when(k + 1 < n_chunks)
+            def _():
+                for z in (0, 1):
+                    fetch_g(z, c - 1, 1 - slot).start()
+                    fetch_y(z, c - 1, 1 - slot).start()
+                    fetch_c(z, c - 1, 1 - slot).start()
+                    fetch_dy(z, c - 1, 1 - slot).start()
+
+            @pl.when(k >= 2)
+            def _():
+                for z in (0, 1):
+                    put_dg(z, c + 2, slot).wait()
+
+            # batched gh recompute for the chunk: gates = gx + h_prev@Wh
+            for z in (0, 1):
+                prebuf[z] = gbuf[slot, z] + jnp.dot(
+                    ybuf[slot, z].reshape(f * b, hp), wh_ref[z],
+                    preferred_element_type=jnp.float32,
+                ).reshape(f, b, 4 * hp)
+
+            for fi in range(f - 1, -1, -1):
+                tf = (c * f + fi).astype(jnp.float32)
+                for z in (0, 1):
+                    gates = prebuf[z, fi]
+                    gi = _sigmoid(gates[:, 0 * hp:1 * hp])
+                    gf = _sigmoid(gates[:, 1 * hp:2 * hp])
+                    gg = jnp.tanh(gates[:, 2 * hp:3 * hp])
+                    go = _sigmoid(gates[:, 3 * hp:4 * hp])
+                    c_prev = cbuf[slot, z, fi]
+                    tanh_c = jnp.tanh(cbuf[slot, z, fi + 1])
+                    m = _lane_tile(
+                        jnp.where(
+                            (tf >= s_ref[z]) & (tf < e_ref[z]), 1.0, 0.0
+                        ),
+                        hp,
+                    )
+                    dh_out = (dybuf[slot, z, fi].astype(jnp.float32) * m
+                              + dh_scr[z])
+                    dc_out = dc_scr[z]
+                    dh_new = m * dh_out
+                    dc_new = (m * dc_out
+                              + dh_new * go * (1.0 - tanh_c * tanh_c))
+                    di = dc_new * gg * (gi * (1.0 - gi))
+                    df = dc_new * c_prev * (gf * (1.0 - gf))
+                    dg = dc_new * gi * (1.0 - gg * gg)
+                    do = dh_new * tanh_c * (go * (1.0 - go))
+                    dgates = jnp.concatenate([di, df, dg, do], axis=-1)
+                    dgbuf[slot, z, fi] = dgates
+                    rec = jax.lax.dot_general(
+                        dgates.astype(cdtype), wh_ref[z], nt,
+                        preferred_element_type=jnp.float32,
+                    )
+                    dh_scr[z] = (1.0 - m) * dh_out + rec
+                    dc_scr[z] = (1.0 - m) * dc_out + gf * dc_new
+
+            for z in (0, 1):
+                dwh_ref[z] += jax.lax.dot_general(
+                    ybuf[slot, z].reshape(f * b, hp),
+                    dgbuf[slot, z].reshape(f * b, 4 * hp).astype(cdtype),
+                    tn, preferred_element_type=jnp.float32,
+                )
+                put_dg(z, c, slot).start()
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+        for back in (2, 1):
+            k = n_chunks - back  # static
+            if k >= 0:
+                for z in (0, 1):
+                    put_dg(z, n_chunks - 1 - k, k % 2).wait()
+
+    return kernel
+
+
+_GX_CHUNK = 2  # serial h-chain dominates; small chunks keep DMA off it
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gx_fn(t, f, b, bp, h, hp, cdtype_str, interpret):
+    cdtype = jnp.dtype(cdtype_str)
+    tp = _round_up(t, f)
+
+    def fwd_call(gxp, whp, s, e):
+        return pl.pallas_call(
+            _fwd_gx_kernel(tp, f, bp, hp, cdtype),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, tp + 1, bp, hp), cdtype),
+                jax.ShapeDtypeStruct((2, tp + 1, bp, hp), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bp, hp), jnp.float32),
+                pltpu.VMEM((2, bp, hp), jnp.float32),
+                pltpu.VMEM((2, 2, f, bp, 4 * hp), jnp.float32),
+                pltpu.VMEM((2, 2, f, bp, hp), cdtype),
+                pltpu.VMEM((2, 2, f, bp, hp), jnp.float32),
+                pltpu.VMEM((1, bp, hp), cdtype),
+                pltpu.VMEM((1, bp, hp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * tp * bp * hp * 4 * hp,
+                bytes_accessed=4 * tp * 2 * bp * 4 * hp
+                + 6 * tp * 2 * bp * hp,
+                transcendentals=5 * 2 * tp * bp * hp,
+            ),
+        )(gxp, whp, s, e)
+
+    def bwd_call(gxp, y_ext, c_ext, dys, whp, s, e):
+        return pl.pallas_call(
+            _bwd_gx_kernel(tp, f, bp, hp, cdtype),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, tp, bp, 4 * hp), jnp.float32),
+                jax.ShapeDtypeStruct((2, hp, 4 * hp), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bp, hp), jnp.float32),
+                pltpu.VMEM((2, bp, hp), jnp.float32),
+                pltpu.VMEM((2, 2, f, bp, 4 * hp), jnp.float32),
+                pltpu.VMEM((2, 2, f, bp, hp), cdtype),
+                pltpu.VMEM((2, 2, f + 1, bp, hp), jnp.float32),
+                pltpu.VMEM((2, 2, f, bp, hp), cdtype),
+                pltpu.VMEM((2, f, bp, 4 * hp), jnp.float32),
+                pltpu.VMEM((2, 2, f, bp, 4 * hp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * 2 * tp * bp * hp * 4 * hp,
+                bytes_accessed=2 * 4 * tp * 2 * bp * 4 * hp
+                + 6 * tp * 2 * bp * hp,
+                transcendentals=5 * 2 * tp * bp * hp,
+            ),
+        )(gxp, y_ext, c_ext, dys, whp, s, e)
+
+    def fwd(gxp, whp, s, e):
+        y_ext, c_ext = fwd_call(gxp, whp, s, e)
+        fwd_y = y_ext[0, 1:t + 1, :b, :h]
+        bwd_y = jnp.flip(y_ext[1, 1:t + 1, :b, :h], axis=0)
+        y = jnp.transpose(
+            jnp.concatenate([fwd_y, bwd_y], axis=-1), (1, 0, 2)
+        )
+        return y, (gxp, y_ext, c_ext, whp, s, e)
+
+    def bwd(res, dy):
+        gxp, y_ext, c_ext, whp, s, e = res
+        dy = dy.astype(cdtype)
+        dyf = dy[..., :h]
+        dyb = jnp.flip(dy[..., h:], axis=1)
+        dys = jnp.transpose(jnp.stack([dyf, dyb]), (0, 2, 1, 3))
+        dys = jnp.pad(
+            dys, ((0, 0), (0, tp - t), (0, bp - b), (0, hp - h))
+        )
+        dgx, dwh = bwd_call(gxp, y_ext, c_ext, dys, whp, s, e)
+        # pad rows/lanes of the accumulator are exactly zero (h/y pad
+        # lanes stay zero in the forward), so it IS the padded adjoint
+        return (dgx, dwh.astype(whp.dtype), jnp.zeros_like(s),
+                jnp.zeros_like(e))
+
+    @jax.custom_vjp
+    def fn(gxp, whp, s, e):
+        return fwd(gxp, whp, s, e)[0]
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def blstm_train_gx(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    wx: jnp.ndarray,
+    wh: jnp.ndarray,
+    bias: jnp.ndarray,
+    chunk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Gate-stream fused training BLSTM (fits ANY input dim).
+
+    Same contract as blstm_train; the input projection runs outside as a
+    differentiable einsum (dW_x/dx/dbias via autodiff), the kernels own
+    only the serial recursion.
+    """
+    b, t, d = x.shape
+    h = wh.shape[-1] // 4
+    cdtype = jnp.dtype(wx.dtype)
+    f = chunk or _GX_CHUNK
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bp = _round_up(b, 8)
+    hp = _round_up(h, 128)
+    tp = _round_up(t, f)
+
+    xs = jnp.stack([x, jnp.flip(x, axis=1)]).astype(cdtype)  # (2, B, T, D)
+    # one big MXU matmul outside the kernel — exactly the scan path's
+    # hoisted projection, so dW_x/dx/dbias come from XLA autodiff
+    gx = (
+        jnp.einsum(
+            "zbtd,zdg->ztbg", xs, wx,
+            preferred_element_type=jnp.float32,
+        )
+        + bias.astype(jnp.float32)[:, None, None, :]
+    )  # (2, T, B, 4H) f32
+    gxp = _pad_gate_axis(gx, h, hp)
+    gxp = jnp.pad(gxp, ((0, 0), (0, tp - t), (0, bp - b), (0, 0)))
+    whp = _pad_gate_axis(jnp.pad(wh, ((0, 0), (0, hp - h), (0, 0))), h, hp)
+    s, e = _intervals(lengths, t, bp, hp)
+    fn = _make_gx_fn(t, f, b, bp, h, hp, str(cdtype), bool(interpret))
+    return fn(gxp, whp, s, e)

@@ -150,9 +150,10 @@ def test_pad_frame_cotangents_are_ignored():
         )
 
 
-def test_oversize_layer_falls_back_to_scan():
-    """A layer exceeding the VMEM budget must run (via scan fallback) and
-    produce scan-identical values and gradients."""
+def test_oversize_layer_direct_api_refuses():
+    """The Wx-resident kernel's direct API refuses oversize shapes (the
+    module routes them to the gate-stream variant instead — see
+    test_fused_impl_oversize_uses_gx_variant)."""
     assert not fused_train_fits(2, 8, 70000, 128)
     b, t, d, h = 2, 6, 16, 8
     assert fused_train_fits(b, t, d, h)
@@ -189,4 +190,70 @@ def test_blstmp_stack_trains_with_fused_impl():
         np.testing.assert_allclose(
             np.asarray(bb) / scale, np.asarray(a) / scale,
             rtol=0, atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("b,t,d,h,chunk", [
+    (4, 13, 24, 16, 2),   # generic small
+    (3, 9, 40, 96, 4),    # Tp > T, unaligned H
+])
+def test_gx_variant_grads_match_scan(b, t, d, h, chunk):
+    """blstm_train_gx (gate-stream variant): value + all gradients match
+    scan — the input projection lives outside, so dwx/dx/dbias flow
+    through XLA autodiff while the kernels own the recursion."""
+    from robust_e2e_gan_tpu.ops.blstm_train_pallas import blstm_train_gx
+
+    x, lens, mask, r = _case(b, t, d, h)
+    lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+    m_scan = BLSTM(h, impl="scan")
+    params = m_scan.init(jax.random.PRNGKey(0), x, mask)
+    p = params["params"]
+
+    y0 = m_scan.apply(params, x, mask)
+    y1 = blstm_train_gx(x, lengths, p["wx"], p["wh"], p["bias"],
+                        chunk=chunk)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), rtol=0, atol=2e-5
+    )
+
+    g0 = _grads(m_scan, params, x, mask, r)
+
+    def loss(x, wx, wh, bias):
+        y = blstm_train_gx(x, lengths, wx, wh, bias, chunk=chunk)
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        x, p["wx"], p["wh"], p["bias"]
+    )
+    for k, v in zip(("x", "['params']['wx']", "['params']['wh']",
+                     "['params']['bias']"), g1):
+        scale = np.abs(g0[k]).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(v, np.float32) / scale, g0[k] / scale,
+            rtol=0, atol=5e-6, err_msg=f"gx gradient mismatch for {k}",
+        )
+
+
+def test_fused_impl_oversize_uses_gx_variant():
+    """BLSTM impl='fused' on a layer exceeding the W_x VMEM budget now
+    routes to the gate-stream kernel (scan-identical grads) instead of
+    falling back to scan."""
+    from robust_e2e_gan_tpu.ops.blstm_train_pallas import fused_train_fits
+
+    b, t, d, h = 2, 6, 70000, 8  # W_x alone exceeds the budget
+    assert not fused_train_fits(b, t, d, h)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    mask = jnp.ones((b, t), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((b, t, 2 * h)).astype(np.float32))
+    m_scan = BLSTM(h, impl="scan")
+    m_fused = BLSTM(h, impl="fused")
+    params = m_scan.init(jax.random.PRNGKey(0), x, mask)
+    g0 = _grads(m_scan, params, x, mask, r)
+    g1 = _grads(m_fused, params, x, mask, r)
+    for k in g0:
+        scale = np.abs(g0[k]).max() + 1e-6
+        np.testing.assert_allclose(
+            g1[k] / scale, g0[k] / scale, rtol=0, atol=5e-6,
+            err_msg=f"gradient mismatch for {k}",
         )
