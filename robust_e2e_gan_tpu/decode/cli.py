@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "--text); requires an experiment trained with "
                         "--train-feats-scp. --length-buckets are frames.")
     p.add_argument("--text", help="Kaldi text file (with --noisy-scp)")
+    p.add_argument("--serving-impls", choices=("auto", "fused", "xla"),
+                   default="auto",
+                   help="serving kernel selection: 'auto' uses the fused "
+                        "Pallas kernels on TPU, 'fused' forces them "
+                        "(interpret mode off-TPU), 'xla' disables them "
+                        "(operational escape hatch)")
     p.add_argument("--index-cache",
                    help="persist probed utterance lengths here (reused "
                         "while the scp fingerprint matches)")
@@ -102,8 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_experiment(ckpt_dir: str, which: str = "best"):
-    """Rebuild (model, disc, params, tokenizer) from a training run's dir."""
+def load_experiment(ckpt_dir: str, which: str = "best",
+                    serving_impls: str = "auto"):
+    """Rebuild (model, disc, params, tokenizer) from a training run's dir.
+
+    serving_impls: "auto" (fused Pallas kernels on TPU), "fused" (force
+    them, interpret mode off-TPU), or "xla" (pure-XLA serving — the
+    operational escape hatch if a platform miscompiles a kernel).
+    """
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         saved = json.load(f)
     jcfg = cfg_lib.from_dict(JointConfig, saved["joint"])
@@ -112,21 +124,26 @@ def load_experiment(ckpt_dir: str, which: str = "best"):
     # are unroll-independent, so always rebuild for decode with the default.
     import dataclasses as _dc
 
-    # lstm_impl="auto" additionally swaps the BLSTM frame loops for the
-    # fused forward-only Pallas kernel on TPU (ops/blstm_pallas.py) —
-    # decode never differentiates, and parameters are impl-independent.
+    # serving impls: the BLSTM frame loops, attention step, decoder step
+    # (and the beam's CTC-prefix kernels via make_beam_searcher's default)
+    # all resolve their fused Pallas kernels from these knobs; parameters
+    # are impl-independent.
+    lstm = {"auto": "auto", "fused": "tiled", "xla": "scan"}[serving_impls]
+    step = {"auto": "auto", "fused": "fused", "xla": "xla"}[serving_impls]
     jcfg = _dc.replace(
         jcfg,
         e2e=_dc.replace(
             jcfg.e2e,
             encoder=_dc.replace(
-                jcfg.e2e.encoder, scan_unroll=0, lstm_impl="auto",
+                jcfg.e2e.encoder, scan_unroll=0, lstm_impl=lstm,
                 gate_storage="f32",  # decode is forward-only: keep exact
             ),
-            decoder=_dc.replace(jcfg.e2e.decoder, scan_unroll=0),
+            decoder=_dc.replace(jcfg.e2e.decoder, scan_unroll=0,
+                                step_impl=step),
+            attention=_dc.replace(jcfg.e2e.attention, score_impl=step),
         ),
         enhancer=_dc.replace(
-            jcfg.enhancer, scan_unroll=0, lstm_impl="auto",
+            jcfg.enhancer, scan_unroll=0, lstm_impl=lstm,
             gate_storage="f32",
         ),
     )
@@ -197,7 +214,8 @@ def main(argv: Optional[list] = None) -> None:
 
     enable_persistent_cache()
     (model, disc, state, jcfg, tok, step, input_kind,
-     log_domain) = load_experiment(args.ckpt_dir, args.which)
+     log_domain) = load_experiment(args.ckpt_dir, args.which,
+                                   serving_impls=args.serving_impls)
     print(f"restored step {step} from {args.ckpt_dir} ({args.which})")
 
     if args.manifest:
@@ -234,18 +252,35 @@ def main(argv: Optional[list] = None) -> None:
     batcher = BucketBatcher(ds, args.batch_size, buckets,
                             speaker_cmvn=speaker_cmvn)
 
+    prefix_impl = {"auto": "auto", "fused": "tiled",
+                   "xla": "twopass"}[args.serving_impls]
     bcfg = BeamSearchConfig(
         beam_size=args.beam_size, ctc_weight=args.ctc_weight,
         penalty=args.penalty, max_steps=args.max_steps,
         maxlen_ratio=args.maxlen_ratio, minlen_ratio=args.minlen_ratio,
         lm_weight=args.lm_weight, end_detect=args.end_detect,
         early_exit=not args.no_early_exit,
+        prefix_impl=prefix_impl,
     )
     lm = lm_params = None
     if args.lm_dir and args.lm_weight != 0.0:
         from robust_e2e_gan_tpu.train.lm import load_lm
 
         lm, lm_params = load_lm(args.lm_dir)
+        if args.serving_impls != "auto":
+            import dataclasses as _dc
+
+            from robust_e2e_gan_tpu.models.lm import RNNLM
+
+            lm = RNNLM(
+                _dc.replace(
+                    lm.cfg,
+                    step_impl={"fused": "fused", "xla": "xla"}[
+                        args.serving_impls
+                    ],
+                ),
+                dtype=lm.dtype,
+            )
         print(f"RNNLM shallow fusion from {args.lm_dir} "
               f"(weight {args.lm_weight})")
     use_enh = not args.no_enhancer

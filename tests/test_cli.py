@@ -566,3 +566,31 @@ def test_enhance_cli_mesh_data(manifest, tmp_path):
     assert a.keys() == b.keys() and len(a) == 8
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5)
+
+
+def test_decode_cli_serving_impls(manifest, tmp_path):
+    """--serving-impls: the forced-fused decode (every Pallas serving
+    kernel, interpret mode on CPU) produces the same hypotheses and
+    scores as the pure-XLA decode through the REAL CLI."""
+    ckpt = str(tmp_path / "exp_si")
+    train_cli.main([
+        "--mode", "joint",
+        "--train-manifest", manifest,
+        "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
+        "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
+        "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
+        "--length-buckets", "16000", "--max-label-len", "8",
+    ])
+    outs = {}
+    for impls in ("xla", "fused"):
+        out = str(tmp_path / f"dec_{impls}")
+        decode_cli.main([
+            "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
+            "--batch-size", "4", "--beam-size", "3", "--max-steps", "6",
+            "--length-buckets", "16000", "--serving-impls", impls,
+        ])
+        with open(os.path.join(out, "hyp.txt")) as f:
+            outs[impls] = f.read()
+    assert outs["xla"] == outs["fused"]
