@@ -73,9 +73,9 @@ class EncoderConfig:
     # differentiable), "tiled" (fused forward-only Pallas kernel,
     # ops/blstm_pallas.py), "fused" (differentiable fused Pallas
     # forward + custom-VJP backward, ops/blstm_train_pallas.py — the
-    # training fast path; oversize layers fall back to scan), "auto"
-    # (tiled on TPU, scan elsewhere). Decode and bench rebuild with
-    # "auto"; parameters are impl-independent.
+    # training fast path; oversize layers use its gate-stream variant),
+    # "auto" (tiled on TPU, scan elsewhere). Decode and bench rebuild
+    # with "auto"; parameters are impl-independent.
     lstm_impl: str = "scan"
     # Storage dtype of the scan's hoisted gate projections (the backward
     # pass's dominant HBM residual): "f32" exact, "compute" rounds to the
@@ -121,7 +121,7 @@ class DecoderConfig:
     # Beam-mode step implementation: "xla" (reference-exact), "fused"
     # (ops/att_pallas.py att_dec_step_fused — attention + embedding +
     # LSTM cell + readout in ONE Mosaic program; requires num_layers=1,
-    # vocab <= 128 and the location attention variant), "auto" (fused on
+    # the location attention variant), "auto" (fused on
     # TPU when those hold, xla elsewhere). Training and the non-beam
     # step always use the XLA path; parameters are impl-independent.
     step_impl: str = "auto"

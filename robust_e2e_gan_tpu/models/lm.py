@@ -38,8 +38,8 @@ class LMConfig:
     eos_id: int = 1
     ignore_id: int = -1
     # Beam-step implementation: "xla", "fused" (ops/lm_step_pallas.py —
-    # the whole embed + cells + readout step in one Mosaic program; needs
-    # vocab <= 128), "auto" (fused on TPU). Training always uses XLA.
+    # the whole embed + cells + readout step in one Mosaic program),
+    # "auto" (fused on TPU). Training always uses XLA.
     step_impl: str = "auto"
 
 

@@ -304,7 +304,7 @@ def _kernel_step(bb: int, k: int, tp: int, cp: int, a: int, e: int,
                logits_ref, att_ref, zn_ref, cn_ref,
                lhs, rhs, work, att2d, st_f, s_f, ctxbuf):
         # extra inputs vs _kernel:
-        #   tokr_ref: (BB, K, 128) f32 — token ids lane-replicated
+        #   tokr_ref: (BB, K, Vp) f32 — token ids lane-replicated
         #   embt_ref: (Vp, EMBp) cdtype — embedding table
         #   wxe/wxc:  (EMBp, 4Hp) / (E, 4Hp) cdtype — cell input weights,
         #             split at the [emb | ctx] concat boundary
@@ -341,7 +341,7 @@ def _kernel_step(bb: int, k: int, tp: int, cp: int, a: int, e: int,
         ctxc = ctxbuf[...].astype(cdtype)  # (N, E)
         # embedding as a one-hot matmul (Mosaic has no gather); token ids
         # arrive lane-replicated so no lane broadcast is needed
-        tokrep = tokr_ref[...].reshape(n, 128)[:, :vp]
+        tokrep = tokr_ref[...].reshape(n, vp)
         lane = jax.lax.broadcasted_iota(jnp.float32, (n, vp), 1)
         onehot = (lane == tokrep).astype(cdtype)
         embrow = jnp.dot(
@@ -389,19 +389,20 @@ def _kernel_step(bb: int, k: int, tp: int, cp: int, a: int, e: int,
 def att_dec_plan(b, k, t, c, a, e, v, embd, h, cdtype, block_b=None):
     """block_b for the full decoder-step kernel, or None -> XLA path."""
     bb = att_loc_plan(b, k, t, c, a, e, cdtype, block_b)
-    if bb is None or v > 128:
+    if bb is None:
         return None
     itemsize = jnp.dtype(cdtype).itemsize
     ep_ = _round_up(e, 128)
+    vp = _round_up(v, 128)
     embp = _round_up(embd, 128)
     hp = _round_up(h, 128)
     n = bb * k
     extra = (
-        itemsize * (128 * embp + embp * 4 * hp + ep_ * 4 * hp
-                    + hp * 4 * hp + hp * 128 + ep_ * 128)  # weights
+        itemsize * (vp * embp + embp * 4 * hp + ep_ * 4 * hp
+                    + hp * 4 * hp + hp * vp + ep_ * vp)  # weights
         + 4 * n * ep_  # ctxbuf
-        + 4 * n * (4 * hp * 3 + 128 * 3 + 2 * hp)  # stage intermediates
-        + 4 * bb * k * (128 + 2 * hp + 128)  # tok/z/c/logit blocks
+        + 4 * n * (4 * hp * 3 + vp * 3 + 2 * hp)  # stage intermediates
+        + 4 * bb * k * (vp + 2 * hp + vp)  # tok/z/c/logit blocks
     )
     if extra > 16 * 1024 * 1024:
         return None
@@ -444,7 +445,8 @@ def att_dec_step_fused(
 
     Returns (logits (B, K, V) f32, att (B, K, T) f32, z_new (B, K, H) f32,
     c_new (B, K, H) f32), or None when the shapes don't fit (caller uses
-    the XLA path). Requires V <= 128 and a single decoder LSTM layer.
+    the XLA path). Requires a single decoder LSTM layer; the one-hot
+    embedding handles any vocab (multi-lane-block when V > 128).
     """
     b, kk, t, c = feat.shape
     a = enc_proj.shape[-1]
@@ -461,7 +463,7 @@ def att_dec_step_fused(
     ap = _round_up(a, 128)
     ep_ = _round_up(e, 128)
     cp = _round_up(c, 8)
-    vp = 128
+    vp = _round_up(v, 128)
     embp = _round_up(embd, 128)
     hp = _round_up(h, 128)
     ktp = kk * tp
@@ -494,7 +496,7 @@ def att_dec_step_fused(
     tval = jnp.tile(mp, (1, kk))[:, None, :]
 
     tokr = jnp.broadcast_to(
-        tok.astype(jnp.float32)[..., None], (b, kk, 128)
+        tok.astype(jnp.float32)[..., None], (b, kk, vp)
     )
     tokr = jnp.pad(tokr, ((0, bp - b), (0, 0), (0, 0)),
                    constant_values=-1.0)  # pad rows match no vocab lane
@@ -539,7 +541,7 @@ def att_dec_step_fused(
             pl.BlockSpec((ap, cp), lambda i: (0, 0)),
             pl.BlockSpec((1, ap), lambda i: (0, 0)),
             pl.BlockSpec((bb, 1, ktp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, kk, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, kk, vp), lambda i: (i, 0, 0)),
             pl.BlockSpec((vp, embp), lambda i: (0, 0)),
             pl.BlockSpec((embp, 4 * hp), lambda i: (0, 0)),
             pl.BlockSpec((ep_, 4 * hp), lambda i: (0, 0)),
@@ -572,7 +574,7 @@ def att_dec_step_fused(
             flops=2 * bp * kk * tp * 128 * ap
             + 2 * bp * kk * (embp + ep_ + hp) * 4 * hp,
             bytes_accessed=itemsize * bp * (cp * ktp + ap * tp + tp * ep_)
-            + 4 * bp * kk * (tp + 128 + 4 * hp),
+            + 4 * bp * kk * (tp + vp + 4 * hp),
             transcendentals=2 * bp * ap * ktp + 7 * bp * kk * hp,
         ),
     )(featp, ept, encp, dect, wloct, g2, tval, tokr, embt, wxe, wxc, whc,

@@ -39,14 +39,14 @@ def _kernel(n: int, vp: int, embp: int, hp: int, layers: int, cdtype):
     def kernel(tokr_ref, embt_ref, wx0_ref, wxs_ref, whs_ref, bias_ref,
                wout_ref, bout_ref, hin_ref, cin_ref,
                logits_ref, hout_ref, cout_ref):
-        # tokr_ref: (N, 128) f32 — token ids lane-replicated
+        # tokr_ref: (N, Vp) f32 — token ids lane-replicated
         # embt_ref: (Vp, EMBp) cdtype
         # wx0_ref:  (EMBp, 4Hp) cdtype — layer-0 input weights
         # wxs_ref:  (max(L-1,1), Hp, 4Hp) cdtype — deeper-layer inputs
         # whs_ref:  (L, Hp, 4Hp) cdtype; bias_ref: (L, 1, 4Hp) f32
         # wout_ref: (Hp, Vp) cdtype; bout_ref: (1, Vp) f32
         # hin/cin:  (L, N, Hp) f32; outputs mirror
-        tokrep = tokr_ref[...][:, :vp]
+        tokrep = tokr_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.float32, (n, vp), 1)
         onehot = (lane == tokrep).astype(cdtype)
         inp = jnp.dot(
@@ -82,18 +82,17 @@ def _kernel(n: int, vp: int, embp: int, hp: int, layers: int, cdtype):
 
 def lm_step_plan(n, v, embd, h, layers, cdtype) -> bool:
     """Do these LM shapes fit the fused step kernel?"""
-    if v > 128:
-        return False
     it = jnp.dtype(cdtype).itemsize
+    vp = _round_up(v, 128)
     embp = _round_up(embd, 128)
     hp = _round_up(h, 128)
     np_ = _round_up(n, 8)
     vmem = (
-        it * (128 * embp + embp * 4 * hp
+        it * (vp * embp + embp * 4 * hp
               + (max(layers - 1, 1)) * hp * 4 * hp
-              + layers * hp * 4 * hp + hp * 128)
+              + layers * hp * 4 * hp + hp * vp)
         + 4 * layers * (2 * np_ * hp * 2 + np_ * 4 * hp)
-        + 4 * np_ * (128 * 2 + embp)
+        + 4 * np_ * (vp * 2 + embp)
     )
     return vmem <= _BUDGET
 
@@ -133,7 +132,7 @@ def lm_step_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    vp = 128
+    vp = _round_up(v, 128)
     embp = _round_up(embd, 128)
     hp = _round_up(h, 128)
     np_ = _round_up(n, 8)
@@ -144,7 +143,7 @@ def lm_step_fused(
         return pad_gate_rows(w, rows, rowsp, h, hp)
 
     tokr = jnp.pad(
-        jnp.broadcast_to(tok.astype(jnp.float32)[:, None], (n, 128)),
+        jnp.broadcast_to(tok.astype(jnp.float32)[:, None], (n, vp)),
         ((0, np_ - n), (0, 0)), constant_values=-1.0,
     )
     embt = jnp.pad(

@@ -189,8 +189,9 @@ def test_fused_decoder_step_matches_xla():
 
 
 def test_fused_decoder_step_fallbacks():
-    """Structural gates: >128 vocab or num_layers>1 fall back to the XLA
-    cell (identical results, since scoring stays fused either way)."""
+    """Large vocab (>128: multi-lane-block one-hot) runs FUSED and matches
+    XLA; num_layers>1 is a structural gate and falls back to the XLA cell
+    (identical results, since scoring stays fused either way)."""
     import dataclasses
 
     from robust_e2e_gan_tpu.config import DecoderConfig
@@ -200,8 +201,11 @@ def test_fused_decoder_step_fallbacks():
     from robust_e2e_gan_tpu.models.decoder import DecoderStep
     from robust_e2e_gan_tpu.ops.att_pallas import att_dec_plan
 
+    # vocab no longer gates the plan; absurd shapes still do
     assert att_dec_plan(4, 3, 20, 4, 24, 40, 200, 16, 24,
-                        jnp.float32) is None  # vocab > 128
+                        jnp.float32) is not None
+    assert att_dec_plan(4, 3, 20, 4, 2048, 4096, 60000, 2048, 2048,
+                        jnp.float32) is None
 
     b, k, t, e_dim = 2, 2, 16, 24
     v, emb, h, a = 200, 8, 16, 16
@@ -231,7 +235,12 @@ def test_fused_decoder_step_fallbacks():
                          mask)
         _, (lx, _) = mx.apply(params, carry, tok, enc, enc_proj, mask)
         _, (lf, _) = mf.apply(params, carry, tok, enc, enc_proj, mask)
-        np.testing.assert_array_equal(np.asarray(lx), np.asarray(lf))
+        if layers == 2:  # structural gate: XLA both -> exact
+            np.testing.assert_array_equal(np.asarray(lx), np.asarray(lf))
+        else:  # fused large-vocab step vs XLA: f32 tolerance
+            np.testing.assert_allclose(
+                np.asarray(lx), np.asarray(lf), rtol=0, atol=1e-5
+            )
 
 
 def test_fused_decoder_step_bf16_close():
