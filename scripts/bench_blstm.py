@@ -77,6 +77,7 @@ def main():
 
     # ---- training (fwd+bwd) per-layer: scan vs fused custom-VJP ----
     for name, b, t, d, h in TRAIN_CASES:
+      try:
         x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
         lens = jnp.asarray(
             rng.integers(t // 2, t + 1, size=b).astype(np.int32)
@@ -104,6 +105,9 @@ def main():
         out[f"train/{name}"] = row
         print(f"train/{name}: scan {row['scan']} ms, fused "
               f"{row['fused']} ms ({row['speedup']}x)")
+      except Exception as e:  # one bad config must not kill the run
+        out[f"train/{name}"] = {"error": str(e)[:160]}
+        print(f"train/{name} FAILED: {str(e)[:160]}", flush=True)
     os.makedirs("results", exist_ok=True)
     with open("results/blstm_kernel.json", "w") as fh:
         json.dump(out, fh, indent=2)
