@@ -29,7 +29,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import os
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -89,35 +88,6 @@ def _extract_iter(
         yield key, feats[valid]
 
 
-def _write_entries(
-    entries: Iterator[Tuple[str, np.ndarray]],
-    out_ark: str,
-    out_scp: str = None,
-    compress: int = 0,
-) -> int:
-    """Stream (key, mat) pairs to ark(+scp); atomic via .tmp + rename."""
-    tmp_ark = out_ark + ".tmp"
-    scp_lines = []
-    n = 0
-    with open(tmp_ark, "wb") as f:
-        for key, mat in entries:
-            if compress:
-                offset = kaldi_io.write_compressed_mat(
-                    f, key, mat, fmt=compress
-                )
-            else:
-                offset = kaldi_io.write_mat(f, key, mat)
-            scp_lines.append(f"{key} {os.path.abspath(out_ark)}:{offset}\n")
-            n += 1
-    os.replace(tmp_ark, out_ark)
-    if out_scp:
-        tmp_scp = out_scp + ".tmp"
-        with open(tmp_scp, "w") as f:
-            f.writelines(scp_lines)
-        os.replace(tmp_scp, out_scp)
-    return n
-
-
 def main_fbank(argv=None) -> None:
     p = argparse.ArgumentParser(
         description="Offline feature extraction (Kaldi compute-fbank-feats / "
@@ -148,9 +118,9 @@ def main_fbank(argv=None) -> None:
         if args.manifest
         else kaldi_io.read_mat_scp(args.wav_scp)
     )
-    n = _write_entries(
+    n = kaldi_io.write_ark_scp(
         _extract_iter(wavs, cfg, args.feats_kind),
-        args.out_ark, args.out_scp, args.compress,
+        args.out_ark, args.out_scp, compress=args.compress, atomic=True,
     )
     dim = cfg.n_mels if args.feats_kind == "fbank" else cfg.n_freqs
     print(
@@ -180,7 +150,8 @@ def main_copy(argv=None) -> None:
         if args.feats_scp
         else kaldi_io.read_mat_ark(args.feats_ark)
     )
-    n = _write_entries(entries, args.out_ark, args.out_scp, args.compress)
+    n = kaldi_io.write_ark_scp(entries, args.out_ark, args.out_scp,
+                               compress=args.compress, atomic=True)
     print(f"copied {n} matrices to {args.out_ark}")
 
 

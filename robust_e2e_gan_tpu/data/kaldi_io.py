@@ -310,15 +310,35 @@ def write_ark_scp(
     entries: Iterator[Tuple[str, np.ndarray]],
     ark_path: str,
     scp_path: str = None,
-) -> None:
-    """Write an ark (and optional matching scp) from (key, matrix) pairs."""
-    scp = open(scp_path, "w") if scp_path else None
-    try:
-        with open(ark_path, "wb") as f:
-            for key, mat in entries:
+    compress: int = 0,
+    atomic: bool = False,
+) -> int:
+    """Write an ark (and optional matching scp) from (key, matrix) pairs.
+
+    compress: 0 writes uncompressed FM blobs; 1/2/3 write CM/CM2/CM3.
+    atomic: stage both files as .tmp and rename on completion, so readers
+    never observe a partially written ark/scp. Returns the entry count.
+    """
+    ark_tmp = ark_path + ".tmp" if atomic else ark_path
+    scp_lines = []
+    n = 0
+    with open(ark_tmp, "wb") as f:
+        for key, mat in entries:
+            if compress:
+                offset = write_compressed_mat(f, key, mat, fmt=compress)
+            else:
                 offset = write_mat(f, key, mat)
-                if scp:
-                    scp.write(f"{key} {os.path.abspath(ark_path)}:{offset}\n")
-    finally:
-        if scp:
-            scp.close()
+            if scp_path:
+                scp_lines.append(
+                    f"{key} {os.path.abspath(ark_path)}:{offset}\n"
+                )
+            n += 1
+    if atomic:
+        os.replace(ark_tmp, ark_path)
+    if scp_path:
+        scp_tmp = scp_path + ".tmp" if atomic else scp_path
+        with open(scp_tmp, "w") as f:
+            f.writelines(scp_lines)
+        if atomic:
+            os.replace(scp_tmp, scp_path)
+    return n

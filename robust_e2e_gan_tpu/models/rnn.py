@@ -183,22 +183,28 @@ class BLSTM(nn.Module):
         if impl == "auto":
             impl = "tiled" if jax.default_backend() == "tpu" else "scan"
         if impl == "tiled":
-            from robust_e2e_gan_tpu.ops.blstm_pallas import blstm_infer
+            from robust_e2e_gan_tpu.ops.blstm_pallas import (
+                blstm_infer, infer_fits,
+            )
             from robust_e2e_gan_tpu.parallel.sharding import (
-                sharded_kernel_call,
+                local_kernel_batch, sharded_kernel_call,
             )
 
-            lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
-            # under a data mesh, run the kernel per-shard (shard_map);
-            # XLA cannot partition a pallas_call and would all-gather
-            call = sharded_kernel_call(
-                blstm_infer, b, (True, True, False, False, False)
-            )
-            ys = call(x, lengths, wx, wh, bias)  # (B, T, 2H)
-            return ys.astype(self.dtype)
+            if infer_fits(local_kernel_batch(b), h,
+                          jnp.dtype(self.dtype).itemsize):
+                lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+                # under a data mesh, run the kernel per-shard (shard_map);
+                # XLA cannot partition a pallas_call and would all-gather
+                call = sharded_kernel_call(
+                    blstm_infer, b, (True, True, False, False, False)
+                )
+                ys = call(x, lengths, wx, wh, bias)  # (B, T, 2H)
+                return ys.astype(self.dtype)
+            # even W_h + carries exceed the VMEM budget: XLA scan below
         if impl == "fused":
             from robust_e2e_gan_tpu.ops.blstm_train_pallas import (
                 blstm_train, blstm_train_gx, fused_train_fits,
+                gx_train_fits,
             )
             from robust_e2e_gan_tpu.parallel.sharding import (
                 local_kernel_batch, sharded_kernel_call,
@@ -206,21 +212,23 @@ class BLSTM(nn.Module):
 
             # W_x-resident kernel when it fits; otherwise the gate-stream
             # variant (input projection outside, fits any input dim) —
-            # e.g. the encoder's VGG-output layer
-            fn = (
-                blstm_train
-                if fused_train_fits(
-                    local_kernel_batch(b), t, d, h,
-                    jnp.dtype(self.dtype).itemsize,
+            # e.g. the encoder's VGG-output layer; if even W_h + its dW_h
+            # accumulator exceed the VMEM budget, fall through to scan
+            lb = local_kernel_batch(b)
+            isz = jnp.dtype(self.dtype).itemsize
+            if fused_train_fits(lb, t, d, h, isz):
+                fn = blstm_train
+            elif gx_train_fits(lb, h, isz):
+                fn = blstm_train_gx
+            else:
+                fn = None
+            if fn is not None:
+                lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+                call = sharded_kernel_call(
+                    fn, b, (True, True, False, False, False)
                 )
-                else blstm_train_gx
-            )
-            lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
-            call = sharded_kernel_call(
-                fn, b, (True, True, False, False, False)
-            )
-            ys = call(x, lengths, wx, wh, bias)
-            return ys.astype(self.dtype)
+                ys = call(x, lengths, wx, wh, bias)
+                return ys.astype(self.dtype)
 
         xs = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, B, T, D)
         ms = jnp.stack([mask, jnp.flip(mask, axis=1)])  # (2, B, T)

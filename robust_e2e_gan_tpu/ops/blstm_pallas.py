@@ -311,6 +311,24 @@ def _intervals(lengths: jnp.ndarray, t: int, bp: int, hp: int):
     )
 
 
+def infer_fits(b: int, h: int, itemsize: int = 2) -> bool:
+    """Can hidden dim H run in the serving kernels at all?
+
+    The gate-stream fallback inside blstm_infer handles any INPUT dim,
+    but W_h and the h/c carries stay VMEM-resident in both variants;
+    beyond this H the caller should keep the XLA scan (budget mirrors
+    the gx fallback's scratch_shapes below).
+    """
+    bp = _round_up(b, 8)
+    hp = _round_up(h, 128)
+    wh_b = 2 * hp * 4 * hp * itemsize
+    states = 2 * (2 * bp * hp * 4)          # h + c carries, f32
+    gh = 2 * 2 * bp * 4 * hp * 4            # gate recompute buffer
+    stage = 2 * 2 * 1 * bp * hp * 4         # output staging
+    ivals = 2 * (2 * bp * min(hp, 128) * 4)  # s/e interval tables
+    return wh_b + states + gh + stage + ivals <= _VMEM_BUDGET
+
+
 def blstm_infer(
     x: jnp.ndarray,
     lengths: jnp.ndarray,

@@ -416,6 +416,33 @@ def fused_train_fits(b: int, t: int, d: int, h: int, itemsize: int = 2
     return _pick_chunk(b, d, h, itemsize) is not None
 
 
+def gx_train_fits(b: int, h: int, itemsize: int = 2) -> bool:
+    """Can hidden dim H train in the gate-stream (gx) kernels?
+
+    The gx variant fits ANY input dim (W_x lives outside), but W_h, its
+    f32 dW_h accumulator and the double-buffered gate/state streams are
+    still VMEM-resident; this budgets the gx BACKWARD program's working
+    set (shapes mirror bwd_call's scratch_shapes in _make_gx_fn).
+    Callers fall back to the XLA scan when this is False.
+    """
+    bp = _round_up(b, 8)
+    hp = _round_up(h, 128)
+    f = _GX_CHUNK
+    wh_b = 2 * hp * 4 * hp * itemsize
+    dwh_b = 2 * hp * 4 * hp * 4
+    states = 2 * (2 * bp * hp * 4)          # h/c (or dh/dc) carries
+    ivals = 2 * (2 * bp * min(hp, 128) * 4)  # s/e interval tables
+    bufs = (
+        2 * 2 * f * bp * 4 * hp * 4          # gate stream in
+        + 2 * 2 * f * bp * hp * itemsize     # h stream
+        + 2 * 2 * (f + 1) * bp * hp * 4      # c stream
+        + 2 * 2 * f * bp * hp * itemsize     # dy stream
+        + 2 * f * bp * 4 * hp * 4            # gh recompute buffer
+        + 2 * 2 * f * bp * 4 * hp * 4        # d(gates) out
+    )
+    return wh_b + dwh_b + states + ivals + bufs <= _TRAIN_VMEM_BUDGET
+
+
 # --------------------------------------------------------------------------
 # custom-VJP entry
 # --------------------------------------------------------------------------

@@ -362,6 +362,18 @@ def _input_kind(args) -> str:
 
 
 def main(argv: Optional[list] = None) -> None:
+    # the ambient kernel-mesh registration is process-global; clear it on
+    # every exit path so in-process callers (tests, libraries) that invoke
+    # main() don't inherit a stale mesh in later traces
+    try:
+        _main(argv)
+    finally:
+        from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
+
+        set_kernel_mesh(None)
+
+
+def _main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
     from robust_e2e_gan_tpu.utils.cache import enable_persistent_cache
 

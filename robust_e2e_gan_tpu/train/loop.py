@@ -133,64 +133,69 @@ def train(
     # (the device->host pull stays synchronous; see AsyncCheckpointer)
     saver = ckpt_lib.AsyncCheckpointer()
 
-    for epoch in range(start_epoch, tcfg.num_epochs):
-        # context manager releases the prefetch thread if a step raises
-        with Prefetcher(train_batches(), depth=prefetch_depth) as it:
-            for batch in it:
-                timer.tic()
-                state, metrics = step_fn(state, _device_batch(batch, mesh))
-                step = int(state.step)
-                if step % tcfg.log_every == 0:
-                    jax.block_until_ready(metrics)
-                    logger.log(step, metrics, prefix=f"epoch {epoch} ")
-                if save_every_steps and step % save_every_steps == 0:
-                    # preemption safety net between per-epoch checkpoints
-                    saver.save(
-                        tcfg.checkpoint_dir, state, step, metric=None,
-                        keep=3,
-                        extra={"epoch": epoch, "epoch_complete": False,
-                               "best_acc": best_acc},
-                    )
-                timer.toc()
+    # context manager drains the in-flight checkpoint write (and
+    # surfaces worker errors) even if a step raises; the final
+    # checkpoint must be durable before returning
+    try:
+        with saver:
+            for epoch in range(start_epoch, tcfg.num_epochs):
+                # context manager releases the prefetch thread if a step raises
+                with Prefetcher(train_batches(), depth=prefetch_depth) as it:
+                    for batch in it:
+                        timer.tic()
+                        state, metrics = step_fn(state, _device_batch(batch, mesh))
+                        step = int(state.step)
+                        if step % tcfg.log_every == 0:
+                            jax.block_until_ready(metrics)
+                            logger.log(step, metrics, prefix=f"epoch {epoch} ")
+                        if save_every_steps and step % save_every_steps == 0:
+                            # preemption safety net between per-epoch checkpoints
+                            saver.save(
+                                tcfg.checkpoint_dir, state, step, metric=None,
+                                keep=3,
+                                extra={"epoch": epoch, "epoch_complete": False,
+                                       "best_acc": best_acc},
+                            )
+                        timer.toc()
 
-        # ---- dev evaluation (mean over dev batches)
-        dev_acc = None
-        if dev_batches is not None:
-            sums: Dict[str, float] = {}
-            n = 0
-            for batch in dev_batches():
-                m = eval_fn(state.params_g, _device_batch(batch, mesh))
-                for k, v in m.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-                n += 1
-            if n:
-                dev = {k: v / n for k, v in sums.items()}
-                dev_acc = dev["acc"]
-                logger.log(int(state.step), dev, prefix=f"DEV epoch {epoch} ")
+                # ---- dev evaluation (mean over dev batches)
+                dev_acc = None
+                if dev_batches is not None:
+                    sums: Dict[str, float] = {}
+                    n = 0
+                    for batch in dev_batches():
+                        m = eval_fn(state.params_g, _device_batch(batch, mesh))
+                        for k, v in m.items():
+                            sums[k] = sums.get(k, 0.0) + float(v)
+                        n += 1
+                    if n:
+                        dev = {k: v / n for k, v in sums.items()}
+                        dev_acc = dev["acc"]
+                        logger.log(int(state.step), dev, prefix=f"DEV epoch {epoch} ")
 
-        # ---- eps-decay on plateau (reference Adadelta schedule)
-        if dev_acc is not None:
-            if dev_acc > best_acc:
-                best_acc = dev_acc
-            elif tcfg.optimizer == "adadelta":
-                state = state.replace(
-                    opt_state_g=steps_lib.decay_adadelta_eps(
-                        state.opt_state_g, tcfg.eps_decay
-                    ),
-                    opt_state_d=steps_lib.decay_adadelta_eps(
-                        state.opt_state_d, tcfg.eps_decay
-                    ),
+                # ---- eps-decay on plateau (reference Adadelta schedule)
+                if dev_acc is not None:
+                    if dev_acc > best_acc:
+                        best_acc = dev_acc
+                    elif tcfg.optimizer == "adadelta":
+                        state = state.replace(
+                            opt_state_g=steps_lib.decay_adadelta_eps(
+                                state.opt_state_g, tcfg.eps_decay
+                            ),
+                            opt_state_d=steps_lib.decay_adadelta_eps(
+                                state.opt_state_d, tcfg.eps_decay
+                            ),
+                        )
+                        print(f"[{mode}] dev plateau at epoch {epoch}: "
+                              f"eps *= {tcfg.eps_decay}", flush=True)
+
+                saver.save(
+                    tcfg.checkpoint_dir, state, int(state.step),
+                    metric=dev_acc, keep=3,
+                    extra={"epoch": epoch, "epoch_complete": True,
+                           "best_acc": best_acc},
                 )
-                print(f"[{mode}] dev plateau at epoch {epoch}: "
-                      f"eps *= {tcfg.eps_decay}", flush=True)
 
-        saver.save(
-            tcfg.checkpoint_dir, state, int(state.step),
-            metric=dev_acc, keep=3,
-            extra={"epoch": epoch, "epoch_complete": True,
-                   "best_acc": best_acc},
-        )
-
-    saver.wait()  # the final checkpoint must be durable before returning
-    logger.close()
+    finally:
+        logger.close()
     return state, model, disc

@@ -141,8 +141,12 @@ class AsyncCheckpointer:
         self._error: Optional[BaseException] = None
 
     def save(self, ckpt_dir: str, state: Any, step: int, **kw) -> None:
-        host_state = _to_host(state)  # sync: donation + collective safety
+        # join the in-flight write FIRST so its snapshot is released
+        # before the new pull — this is what bounds host memory to one
+        # snapshot; the pull itself stays synchronous (donation +
+        # collective safety, see class docstring)
         self.wait()
+        host_state = _to_host(state)
 
         def work():
             try:

@@ -107,3 +107,32 @@ def test_auto_resolves_to_scan_off_tpu():
     g = jax.grad(loss)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+def test_tiled_impl_beyond_budget_falls_back_to_scan(monkeypatch):
+    """impl='tiled' with a hidden dim whose W_h + carries exceed the
+    serving VMEM budget must run the XLA scan instead of launching an
+    uncompilable kernel (kernel stubbed out to prove the route)."""
+    import jax
+
+    from robust_e2e_gan_tpu.models.rnn import BLSTM
+    from robust_e2e_gan_tpu.ops import blstm_pallas as bp
+
+    assert bp.infer_fits(8, 320)         # reference scale fits
+    assert not bp.infer_fits(8, 4096)    # W_h alone blows the budget
+
+    def _boom(*a, **kw):
+        raise AssertionError("tiled kernel invoked beyond the VMEM budget")
+
+    monkeypatch.setattr(bp, "infer_fits", lambda *a, **kw: False)
+    monkeypatch.setattr(bp, "blstm_infer", _boom)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 9, 12)).astype(np.float32))
+    mask = jnp.ones((3, 9), jnp.float32)
+    m_scan = BLSTM(16, impl="scan")
+    m_tiled = BLSTM(16, impl="tiled")
+    params = m_scan.init(jax.random.PRNGKey(0), x, mask)
+    y0 = m_scan.apply(params, x, mask)
+    y1 = m_tiled.apply(params, x, mask)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

@@ -547,7 +547,6 @@ def test_enhance_cli_mesh_data(manifest, tmp_path):
     ])
     from robust_e2e_gan_tpu.data import kaldi_io
     from robust_e2e_gan_tpu.decode import enhance_cli
-    from robust_e2e_gan_tpu.parallel.sharding import set_kernel_mesh
 
     out1 = str(tmp_path / "enh1" / "feats")
     enhance_cli.main([
@@ -560,7 +559,9 @@ def test_enhance_cli_mesh_data(manifest, tmp_path):
         "--batch-size", "8", "--length-buckets", "16000",
         "--mesh-data", "8",
     ])
-    set_kernel_mesh(None)  # clear the ambient mesh for later tests
+    # main() must clear the process-global mesh registration itself
+    from robust_e2e_gan_tpu.parallel import sharding as _sh
+    assert _sh._KERNEL_MESH is None
     a = dict(kaldi_io.read_mat_scp(out1 + ".scp"))
     b = dict(kaldi_io.read_mat_scp(out8 + ".scp"))
     assert a.keys() == b.keys() and len(a) == 8
