@@ -295,3 +295,19 @@ def test_async_checkpointer(tmp_path):
     bad.save(str(blocked), state, 1)
     with pytest.raises(Exception):
         bad.wait()
+
+
+def test_async_save_drains_when_body_raises(tmp_path):
+    """An exception inside `with saver:` (how train() runs it) must still
+    drain the in-flight write — the preemption-net checkpoint survives a
+    crashed step instead of dying with the daemon thread."""
+    state = {"w": jnp.full((2, 2), 3.0), "step": jnp.asarray(5)}
+    d = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="step blew up"):
+        with ckpt.AsyncCheckpointer() as saver:
+            saver.save(d, state, 5, extra={"epoch": 0})
+            raise RuntimeError("step blew up")
+    restored, step = ckpt.restore_checkpoint(d, state, "latest")
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.full((2, 2), 3.0))
