@@ -85,14 +85,21 @@ def main(steps=300):
 
     g0 = loss(m_scan)(params, x)
     g1 = loss(m_fused)(params, x)
+    # On-chip tolerance: neither path pins dot precision, so f32 matmuls
+    # run the TPU's DEFAULT single-pass-bf16 MXU mode, and the fused
+    # backward RECOMPUTES gate pre-activations where scan-autodiff reads
+    # stored ones — different decompositions of the same math under bf16
+    # rounding. Measured noise ~3e-4 of max|grad| (v5e); the exact-math
+    # equivalence proof is the interpret-mode suite at 5e-6
+    # (tests/test_blstm_train_pallas.py).
     for a, bb_ in zip(jax.tree_util.tree_leaves(g0),
                       jax.tree_util.tree_leaves(g1)):
         scale = np.abs(np.asarray(a)).max() + 1e-6
         np.testing.assert_allclose(
             np.asarray(bb_) / scale, np.asarray(a) / scale,
-            rtol=0, atol=5e-5,
+            rtol=0, atol=1e-3,
         )
-    print("fused-train BLSTM grads == scan on chip")
+    print("fused-train BLSTM grads == scan on chip (atol 1e-3 of max)")
 
     # ---- 2b. fused CTC loss grads vs scan, compiled on chip ----
     from robust_e2e_gan_tpu.ops.ctc import ctc_loss
