@@ -342,7 +342,11 @@ def _kernel_step(bb: int, k: int, tp: int, cp: int, a: int, e: int,
         # embedding as a one-hot matmul (Mosaic has no gather); token ids
         # arrive lane-replicated so no lane broadcast is needed
         tokrep = tokr_ref[...].reshape(n, vp)
-        lane = jax.lax.broadcasted_iota(jnp.float32, (n, vp), 1)
+        # tpu.iota only produces integers (Mosaic rejects a float iota);
+        # generate int32 and convert for the f32 token-id compare
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, vp), 1).astype(
+            jnp.float32
+        )
         onehot = (lane == tokrep).astype(cdtype)
         embrow = jnp.dot(
             onehot, embt_ref[...], preferred_element_type=jnp.float32

@@ -47,7 +47,11 @@ def _kernel(n: int, vp: int, embp: int, hp: int, layers: int, cdtype):
         # wout_ref: (Hp, Vp) cdtype; bout_ref: (1, Vp) f32
         # hin/cin:  (L, N, Hp) f32; outputs mirror
         tokrep = tokr_ref[...]
-        lane = jax.lax.broadcasted_iota(jnp.float32, (n, vp), 1)
+        # tpu.iota only produces integers (Mosaic rejects a float iota);
+        # generate int32 and convert for the f32 token-id compare
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, vp), 1).astype(
+            jnp.float32
+        )
         onehot = (lane == tokrep).astype(cdtype)
         inp = jnp.dot(
             onehot, embt_ref[...], preferred_element_type=jnp.float32
