@@ -1,13 +1,22 @@
 #!/bin/bash
 # TPU-tunnel watcher: probe until a real computation completes, then run
-# the queued round-3 hardware measurement jobs (BASELINE.md "late-session
-# additions" section), mirroring logs into results/r3_hw/.
+# the round-4 hardware gate + measurement jobs (round-3 VERDICT next-round
+# items 1-4, 6-7), mirroring logs into results/r4_hw/.
+#
+# Job order is the VERDICT's priority order: the compile-only Mosaic smoke
+# gate first (also pre-warms the persistent compilation cache), then the
+# green-gate verify jobs, then the headline bench, then the measurement
+# closures (kernel A/B, train-side, MFU, batch sweep).
+#
+# Per-job timeouts are per-job parameters (round-3 ADVICE: the flat 1200 s
+# was tight against observed cold-cache costs — verify_drive's step 0 alone
+# took 593 s cold).
 #
 # Usage: bash scripts/hw_watch.sh [max_probe_minutes]
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p results/r3_hw
-MAX_MIN=${1:-120}
+mkdir -p results/r4_hw
+MAX_MIN=${1:-360}
 START=$(date +%s)
 
 probe() {
@@ -19,34 +28,34 @@ print('probe ok')
 " >/dev/null 2>&1
 }
 
-echo "[watch] probing tunnel from $(date -u)" >> results/r3_hw/watch.log
+echo "[watch] probing tunnel from $(date -u)" >> results/r4_hw/watch.log
 until probe; do
   now=$(date +%s)
   if [ $(( (now - START) / 60 )) -ge "$MAX_MIN" ]; then
-    echo "[watch] gave up after ${MAX_MIN} min at $(date -u)" >> results/r3_hw/watch.log
+    echo "[watch] gave up after ${MAX_MIN} min at $(date -u)" >> results/r4_hw/watch.log
     exit 2
   fi
-  echo "[watch] probe failed at $(date -u); retrying" >> results/r3_hw/watch.log
+  echo "[watch] probe failed at $(date -u); retrying" >> results/r4_hw/watch.log
   sleep 45
 done
-echo "[watch] tunnel UP at $(date -u)" >> results/r3_hw/watch.log
+echo "[watch] tunnel UP at $(date -u)" >> results/r4_hw/watch.log
 
 run_job() {
-  name=$1; shift
-  echo "[watch] job $name start $(date -u)" >> results/r3_hw/watch.log
-  timeout 1200 "$@" > "results/r3_hw/${name}.log" 2>&1
-  echo "[watch] job $name rc=$? end $(date -u)" >> results/r3_hw/watch.log
+  name=$1; tmo=$2; shift 2
+  echo "[watch] job $name start $(date -u)" >> results/r4_hw/watch.log
+  timeout "$tmo" "$@" > "results/r4_hw/${name}.log" 2>&1
+  echo "[watch] job $name rc=$? end $(date -u)" >> results/r4_hw/watch.log
 }
 
-run_job verify_fused   python -u scripts/verify_fused.py
-run_job verify_drive   python -u scripts/verify_drive.py
-run_job bench          python -u bench.py
-run_job bench_blstm    python -u scripts/bench_blstm.py
-run_job bench_train    python -u scripts/bench_train.py
-run_job bench_train_parts python -u scripts/bench_train_parts.py
-run_job bench_beam_parts  python -u scripts/bench_beam_parts.py
-run_job mfu_report     python -u scripts/mfu_report.py
-run_job bench_batch_sweep python -u scripts/bench_batch_sweep.py
+run_job smoke_compile     3000 python -u scripts/smoke_compile.py
+run_job verify_fused      2400 python -u scripts/verify_fused.py
+run_job verify_drive      2400 python -u scripts/verify_drive.py
+run_job bench             2400 python -u bench.py
+run_job bench_kernel_ab   3600 python -u scripts/bench_kernel_ab.py
+run_job bench_train       2400 python -u scripts/bench_train.py
+run_job bench_train_parts 2400 python -u scripts/bench_train_parts.py
+run_job mfu_report        3600 python -u scripts/mfu_report.py
+run_job bench_batch_sweep 3600 python -u scripts/bench_batch_sweep.py
 # warm the cache at the swept optimum, then the final headline number
-run_job bench_final    python -u bench.py
-echo "[watch] ALL JOBS DONE $(date -u)" >> results/r3_hw/watch.log
+run_job bench_final       2400 python -u bench.py
+echo "[watch] ALL JOBS DONE $(date -u)" >> results/r4_hw/watch.log

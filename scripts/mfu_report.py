@@ -110,16 +110,26 @@ def _lstm_flops(t, b, in_dim, hidden, bidirectional=True):
     return per_step * t * (2 if bidirectional else 1)
 
 
-def train_step_report():
+def train_step_report(lstm_impl: str = "scan", ctc_impl: str = "auto"):
+    """``lstm_impl='fused'`` routes every BLSTM through the custom-VJP
+    Pallas train kernels (ops/blstm_train_pallas.py) and ``ctc_impl``
+    selects the fused CTC loss — the round-3 kernels built against the
+    measured 55%-HBM-bound scan step."""
     vocab = 52
     jcfg = dataclasses.replace(
         _reference_scale_config(vocab),
         e2e=dataclasses.replace(
             _reference_scale_config(vocab).e2e,
             encoder=dataclasses.replace(
-                _reference_scale_config(vocab).e2e.encoder, scan_unroll=4
+                _reference_scale_config(vocab).e2e.encoder, scan_unroll=4,
+                lstm_impl=lstm_impl,
             ),
+            ctc_impl=ctc_impl,
         ),
+    )
+    jcfg = dataclasses.replace(
+        jcfg, enhancer=dataclasses.replace(jcfg.enhancer,
+                                           lstm_impl=lstm_impl),
     )
     model = build_model(jcfg)
     disc = Discriminator(jcfg.discriminator)
@@ -251,6 +261,11 @@ def main():
         "train": train_step_report(),
         "decode": decode_report(),
     }
+    try:
+        out["train_fused"] = train_step_report(lstm_impl="fused",
+                                               ctc_impl="fused")
+    except Exception as e:
+        out["train_fused"] = {"error": str(e)[:200]}
     os.makedirs("results", exist_ok=True)
     with open("results/mfu.json", "w") as f:
         json.dump(out, f, indent=2)

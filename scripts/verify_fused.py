@@ -83,23 +83,46 @@ def main(steps=300):
             return jnp.sum(m.apply(p, xx, mask).astype(jnp.float32) * r)
         return jax.jit(jax.grad(f, argnums=(0, 1)))
 
+    def max_norm_diff(g0, g1):
+        worst = 0.0
+        for a, bb_ in zip(jax.tree_util.tree_leaves(g0),
+                          jax.tree_util.tree_leaves(g1)):
+            scale = np.abs(np.asarray(a)).max() + 1e-6
+            d = np.abs(np.asarray(bb_) - np.asarray(a)).max() / scale
+            worst = max(worst, float(d))
+        return worst
+
+    # On-chip tolerance at DEFAULT precision: neither path pins dot
+    # precision, so f32 matmuls run the TPU's single-pass-bf16 MXU mode,
+    # and the fused backward RECOMPUTES gate pre-activations where
+    # scan-autodiff reads stored ones — different decompositions of the
+    # same math under bf16 rounding. Measured noise 2.7e-4 of max|grad|
+    # (v5e, round 3); gate at 5e-4 = ~2x headroom over measured noise.
     g0 = loss(m_scan)(params, x)
     g1 = loss(m_fused)(params, x)
-    # On-chip tolerance: neither path pins dot precision, so f32 matmuls
-    # run the TPU's DEFAULT single-pass-bf16 MXU mode, and the fused
-    # backward RECOMPUTES gate pre-activations where scan-autodiff reads
-    # stored ones — different decompositions of the same math under bf16
-    # rounding. Measured noise ~3e-4 of max|grad| (v5e); the exact-math
-    # equivalence proof is the interpret-mode suite at 5e-6
-    # (tests/test_blstm_train_pallas.py).
-    for a, bb_ in zip(jax.tree_util.tree_leaves(g0),
-                      jax.tree_util.tree_leaves(g1)):
-        scale = np.abs(np.asarray(a)).max() + 1e-6
-        np.testing.assert_allclose(
-            np.asarray(bb_) / scale, np.asarray(a) / scale,
-            rtol=0, atol=1e-3,
-        )
-    print("fused-train BLSTM grads == scan on chip (atol 1e-3 of max)")
+    d_default = max_norm_diff(g0, g1)
+    print(f"fused-train BLSTM grad diff, default precision: {d_default:.3e} "
+          "of max|grad| (gate 5e-4)")
+    assert d_default <= 5e-4, d_default
+
+    # CONTROL: same comparison with every dot pinned to HIGHEST precision
+    # (multi-pass f32 emulation on the MXU) — both the scan path and the
+    # Pallas kernels inherit the context default. If the default-precision
+    # mismatch is MXU rounding noise (not a kernel-gradient bug), it must
+    # collapse here to the interpret-mode level. Gate at the original 5e-5.
+    with jax.default_matmul_precision("highest"):
+        g0h = loss(m_scan)(params, x)
+        g1h = loss(m_fused)(params, x)
+    d_highest = max_norm_diff(g0h, g1h)
+    print(f"fused-train BLSTM grad diff, HIGHEST precision: {d_highest:.3e} "
+          "of max|grad| (gate 5e-5) — control for the MXU-noise claim")
+    assert d_highest <= 5e-5, (
+        "mismatch did NOT collapse under highest precision — this is a "
+        f"kernel-gradient bug, not MXU noise: {d_highest:.3e}"
+    )
+    print("fused-train BLSTM grads == scan on chip "
+          f"(default {d_default:.1e} <= 5e-4; highest {d_highest:.1e} <= "
+          "5e-5: noise attribution PROVEN by precision control)")
 
     # ---- 2b. fused CTC loss grads vs scan, compiled on chip ----
     from robust_e2e_gan_tpu.ops.ctc import ctc_loss
