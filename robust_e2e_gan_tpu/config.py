@@ -100,6 +100,12 @@ class AttentionConfig:
     # non-beam step always use the XLA path; parameters are
     # impl-independent.
     score_impl: str = "auto"
+    # The reference-era AttLoc mlp_enc Linear carries a bias (the other
+    # attention projections are bias-free). Default False keeps this
+    # framework's historical parameter tree; imported reference
+    # checkpoints (tools/import_reference_ckpt.py) set it True so the
+    # encoder-side projection matches bit-for-bit.
+    enc_proj_bias: bool = False
 
 
 @dataclass(frozen=True)

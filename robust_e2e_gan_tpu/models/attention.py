@@ -321,6 +321,11 @@ class EncoderProjection(nn.Module):
 
     @nn.compact
     def __call__(self, enc: jnp.ndarray) -> jnp.ndarray:
+        # enc_proj_bias=True restores the reference-era mlp_enc bias for
+        # imported checkpoints (SURVEY.md 2a "Attention"; the bias sits
+        # inside the tanh so it cannot be folded away). The fused serving
+        # kernels consume the projected tensor, so they are unaffected.
         return nn.Dense(
-            self.cfg.dim, use_bias=False, dtype=self.dtype, name="mlp_enc"
+            self.cfg.dim, use_bias=getattr(self.cfg, "enc_proj_bias", False),
+            dtype=self.dtype, name="mlp_enc",
         )(enc)

@@ -53,22 +53,48 @@ from robust_e2e_gan_tpu.train.steps import (
 # reverberation + nonstationary babble + channel tilt (round-2 VERDICT #7)
 SCFG = hard_task(vocab_size=32)
 VOCAB = SCFG.vocab_size
-JCFG = JointConfig(
-    e2e=E2EConfig(
-        frontend=FrontendConfig(n_mels=40),
-        encoder=EncoderConfig(input_dim=40, vgg_channels=(8, 16), num_layers=1,
-                              hidden_dim=96, proj_dim=96),
-        attention=AttentionConfig(dim=64, conv_channels=8, conv_kernel=31),
-        decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=48, hidden_dim=96),
-    ),
-    enhancer=EnhancerConfig(input_dim=257, num_layers=2, hidden_dim=128),
-    discriminator=DiscriminatorConfig(input_dim=40, channels=(8, 16)),
-    mu_enh=3.0,
-)
-# Stage-(b) loss weights: a separately-trained enhancement frontend is
-# MSE-dominant (the adversarial term against a winning D only distorts an
-# enhancer that gets no ASR gradient); the joint stage keeps JCFG's weights.
-JCFG_CASCADE = dataclasses.replace(JCFG, lambda_adv=0.1, mu_enh=10.0)
+
+
+def jcfg_for(scale: str) -> JointConfig:
+    """"toy" = the fast CI-sized config; "reference" = the SURVEY.md 2a
+    dims (3x512 BLSTMP encoder, 512 attention/decoder, 2x512 enhancer,
+    80 mels) — the round-3 VERDICT asked for the paper-claim protocol at
+    the scale the reference actually ran."""
+    if scale == "reference":
+        return JointConfig(
+            e2e=E2EConfig(
+                frontend=FrontendConfig(n_mels=80),
+                encoder=EncoderConfig(input_dim=80, vgg_channels=(64, 128),
+                                      num_layers=3, hidden_dim=512,
+                                      proj_dim=512, scan_unroll=4),
+                attention=AttentionConfig(dim=512, conv_channels=10,
+                                          conv_kernel=201),
+                decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=512,
+                                      hidden_dim=512),
+            ),
+            enhancer=EnhancerConfig(input_dim=257, num_layers=2,
+                                    hidden_dim=512, scan_unroll=4),
+            discriminator=DiscriminatorConfig(input_dim=80,
+                                              channels=(32, 64, 128)),
+            mu_enh=3.0,
+            compute_dtype="bfloat16",
+        )
+    return JointConfig(
+        e2e=E2EConfig(
+            frontend=FrontendConfig(n_mels=40),
+            encoder=EncoderConfig(input_dim=40, vgg_channels=(8, 16),
+                                  num_layers=1, hidden_dim=96, proj_dim=96),
+            attention=AttentionConfig(dim=64, conv_channels=8,
+                                      conv_kernel=31),
+            decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=48,
+                                  hidden_dim=96),
+        ),
+        enhancer=EnhancerConfig(input_dim=257, num_layers=2, hidden_dim=128),
+        discriminator=DiscriminatorConfig(input_dim=40, channels=(8, 16)),
+        mu_enh=3.0,
+    )
+
+
 TCFG = TrainConfig(optimizer="adam", learning_rate=1e-3)
 PAD_TO = SCFG.max_samples
 
@@ -80,11 +106,14 @@ def batches(rng, n, bs=16):
                           ignore_id=-1).items()}
 
 
-def decode_wer(model, params, eval_b, use_enhancer):
+def decode_wer(model, jcfg, params, eval_b, use_enhancer,
+               lm=None, lm_params=None, lm_weight=0.0):
     bcfg = BeamSearchConfig(beam_size=4, ctc_weight=0.3,
-                            max_steps=SCFG.max_label_len + 2)
-    searcher = make_beam_searcher(model, JCFG.e2e, bcfg,
-                                  use_enhancer=use_enhancer)
+                            max_steps=SCFG.max_label_len + 2,
+                            lm_weight=lm_weight)
+    searcher = make_beam_searcher(model, jcfg.e2e, bcfg,
+                                  use_enhancer=use_enhancer,
+                                  lm=lm, lm_params=lm_params)
     res = searcher(params, jnp.asarray(eval_b["noisy_wav"]),
                    jnp.asarray(eval_b["wav_lengths"]))
     hyps = [[int(x) for x in row if x != -1] for row in np.asarray(res.tokens)]
@@ -98,10 +127,39 @@ def decode_wer(model, params, eval_b, use_enhancer):
     }
 
 
-def main(steps_a=400, steps_c=400):
-    print("backend:", jax.default_backend(), flush=True)
-    model = RobustE2E(JCFG)
-    disc = Discriminator(JCFG.discriminator)
+def train_char_lm(rng, steps=600, bs=64):
+    """Char RNNLM on the task's transcript distribution (shallow fusion)."""
+    from robust_e2e_gan_tpu.data.synthetic import sample_transcript
+    from robust_e2e_gan_tpu.models.lm import LMConfig, RNNLM
+    from robust_e2e_gan_tpu.train.lm import init_lm_state, make_lm_train_step
+
+    lmc = LMConfig(vocab_size=VOCAB, embed_dim=64, hidden_dim=256)
+    lm = RNNLM(lmc)
+    state, opt = init_lm_state(lm, TCFG, seed=0)
+    step = make_lm_train_step(lm, opt)
+
+    def labels_batch():
+        ys = np.full((bs, SCFG.max_label_len), -1, np.int32)
+        for i in range(bs):
+            toks = sample_transcript(SCFG, rng)
+            ys[i, : len(toks)] = toks
+        return ys
+
+    for i in range(steps):
+        state, m = step(state, jnp.asarray(labels_batch()))
+    print(f"[lm] {steps} steps, ppl={float(m['ppl']):.2f}", flush=True)
+    return lm, state.params, float(m["ppl"])
+
+
+def main(steps_a=400, steps_c=400, scale="toy", with_lm=False):
+    print(f"backend: {jax.default_backend()} scale={scale}", flush=True)
+    jcfg = jcfg_for(scale)
+    # Stage-(b) loss weights: a separately-trained enhancement frontend is
+    # MSE-dominant (the adversarial term against a winning D only distorts
+    # an enhancer that gets no ASR gradient); the joint stage keeps jcfg's.
+    jcfg_cascade = dataclasses.replace(jcfg, lambda_adv=0.1, mu_enh=10.0)
+    model = RobustE2E(jcfg)
+    disc = Discriminator(jcfg.discriminator)
     rng = np.random.default_rng(0)
     sample = next(batches(rng, 1))
     state, opt_g, opt_d = init_train_state(model, disc, TCFG, sample, seed=0)
@@ -117,7 +175,7 @@ def main(steps_a=400, steps_c=400):
     eval_rng = np.random.default_rng(999)
     eval_b = make_batch(64, SCFG, eval_rng, pad_to_samples=PAD_TO,
                         ignore_id=-1)
-    wer_noisy_raw = decode_wer(model, state.params_g, eval_b,
+    wer_noisy_raw = decode_wer(model, jcfg, state.params_g, eval_b,
                                use_enhancer=False)
     print(f"noisy WER, no enhancement (baseline): {wer_noisy_raw}",
           flush=True)
@@ -128,33 +186,49 @@ def main(steps_a=400, steps_c=400):
     # enhancer needs more optimization than the joint stage to be a fair
     # cascade baseline (the paper's cascade uses a fully-trained frontend),
     # so it gets 2x the steps.
-    step_b = make_joint_train_step(model, disc, JCFG_CASCADE, opt_g, opt_d,
+    step_b = make_joint_train_step(model, disc, jcfg_cascade, opt_g, opt_d,
                                    with_asr=False)
     for i, b in enumerate(batches(rng, 2 * steps_c)):
         state, m = step_b(state, b)
         if i % 200 == 0:
             print(f"[gan] step {i} d={float(m['loss_d']):.3f} "
                   f"enh={float(m['loss_enh']):.3f}", flush=True)
-    wer_cascade = decode_wer(model, state.params_g, eval_b,
+    wer_cascade = decode_wer(model, jcfg, state.params_g, eval_b,
                              use_enhancer=True)
     print(f"noisy WER, cascade (separate enhancer + clean ASR): "
           f"{wer_cascade}", flush=True)
 
     # ---- stage (c): joint adversarial fine-tune from (a)+(b)
-    step_c = make_joint_train_step(model, disc, JCFG, opt_g, opt_d,
+    step_c = make_joint_train_step(model, disc, jcfg, opt_g, opt_d,
                                    with_asr=True)
     for i, b in enumerate(batches(rng, steps_c)):
         state, m = step_c(state, b)
         if i % 100 == 0:
             print(f"[joint] step {i} acc={float(m['acc']):.3f} "
                   f"d={float(m['loss_d']):.3f}", flush=True)
-    wer_joint = decode_wer(model, state.params_g, eval_b, use_enhancer=True)
+    wer_joint = decode_wer(model, jcfg, state.params_g, eval_b,
+                           use_enhancer=True)
     print(f"noisy WER, joint adversarial enhancement: {wer_joint}",
           flush=True)
 
+    wer_joint_lm, lm_ppl = None, None
+    if with_lm:
+        lm, lm_params, lm_ppl = train_char_lm(rng)
+        wer_joint_lm = decode_wer(model, jcfg, state.params_g, eval_b,
+                                  use_enhancer=True, lm=lm,
+                                  lm_params=lm_params, lm_weight=0.3)
+        print(f"noisy WER, joint + LM shallow fusion (0.3): {wer_joint_lm}",
+              flush=True)
+
+    n_params = sum(
+        int(np.prod(np.shape(x)))
+        for x in jax.tree_util.tree_leaves(state.params_g)
+    )
     summary = {
         "task": "hard_task v3 (vocab=32, words, jitter, SNR -3..+5 dB, "
                 "reverb T60 0.25 s, 3-stream babble, channel tilt)",
+        "scale": scale,
+        "model_params_m": round(n_params / 1e6, 1),
         "noisy_wer_no_enhancement": round(wer_noisy_raw["wer"], 4),
         "noisy_wer_cascade_enhancement": round(wer_cascade["wer"], 4),
         "noisy_wer_joint_adversarial": round(wer_joint["wer"], 4),
@@ -172,16 +246,28 @@ def main(steps_a=400, steps_c=400):
         "babble_streams": SCFG.babble_streams,
         "channel_tilt": SCFG.channel_tilt,
     }
+    if wer_joint_lm is not None:
+        summary["noisy_wer_joint_plus_lm"] = round(wer_joint_lm["wer"], 4)
+        summary["lm_ppl"] = round(lm_ppl, 2)
     print(json.dumps(summary))
     import os
     os.makedirs("results", exist_ok=True)
-    with open("results/adversarial_benefit.json", "w") as f:
+    out_name = ("results/adversarial_benefit.json" if scale == "toy"
+                else f"results/adversarial_benefit_{scale}.json")
+    with open(out_name, "w") as f:
         json.dump(summary, f, indent=2)
     assert wer_joint["wer"] < wer_noisy_raw["wer"], summary
     print("ADVERSARIAL BENEFIT CONFIRMED")
 
 
 if __name__ == "__main__":
-    a = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 400
-    main(a, c)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps_a", nargs="?", type=int, default=400)
+    ap.add_argument("steps_c", nargs="?", type=int, default=400)
+    ap.add_argument("--scale", choices=("toy", "reference"), default="toy")
+    ap.add_argument("--lm", action="store_true",
+                    help="also decode with char-RNNLM shallow fusion")
+    args = ap.parse_args()
+    main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm)

@@ -1,0 +1,303 @@
+"""Reference-checkpoint importer: round-trip + torch-oracle equivalence.
+
+The importer (tools/import_reference_ckpt.py) encodes the reference's
+PyTorch layout conventions (SURVEY.md section 2a naming); these tests prove
+each convention against real torch modules — gate packing, bidirectional
+key suffixes, conv layouts, the VGG flatten permutation, the gvec-bias
+softmax invariance — plus an exact import(export(params)) round trip and
+an end-to-end CLI import that the decode loader can restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from robust_e2e_gan_tpu import config as cfg_lib
+from robust_e2e_gan_tpu.config import (
+    AttentionConfig, DecoderConfig, DiscriminatorConfig, E2EConfig,
+    EncoderConfig, EnhancerConfig, FrontendConfig, JointConfig,
+)
+from robust_e2e_gan_tpu.models.attention import AttLoc, EncoderProjection
+from robust_e2e_gan_tpu.models.encoder import VGG2L
+from robust_e2e_gan_tpu.models.rnn import BLSTM, LSTMCell
+from robust_e2e_gan_tpu.pipeline import RobustE2E
+from tools.import_reference_ckpt import (
+    _bilstm, export_state_dict, import_state_dict,
+    vgg_flatten_permutation,
+)
+
+VOCAB = 12
+
+
+def _jcfg(enc_proj_bias=True):
+    return JointConfig(
+        e2e=E2EConfig(
+            frontend=FrontendConfig(n_mels=40),
+            encoder=EncoderConfig(input_dim=40, vgg_channels=(8, 16),
+                                  num_layers=2, hidden_dim=64, proj_dim=64),
+            attention=AttentionConfig(dim=48, conv_channels=8,
+                                      conv_kernel=31,
+                                      enc_proj_bias=enc_proj_bias),
+            decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=32,
+                                  hidden_dim=64),
+        ),
+        enhancer=EnhancerConfig(input_dim=257, num_layers=2, hidden_dim=64),
+        discriminator=DiscriminatorConfig(input_dim=40, channels=(8, 16)),
+    )
+
+
+def _init_params(jcfg):
+    model = RobustE2E(jcfg)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    lens = jnp.asarray([4000, 3200], jnp.int32)
+    labels = jnp.asarray([[2, 3, -1], [4, 5, 6]], jnp.int32)
+    return model, model.init(
+        jax.random.PRNGKey(0), wav, lens, labels, use_enhancer=True,
+        method=RobustE2E.asr_forward,
+    )["params"]
+
+
+def _tree_eq(a, b, path=""):
+    assert set(a) == set(b), (path, sorted(a), sorted(b))
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_eq(a[k], b[k], path + k + "/")
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=0,
+                err_msg=path + k,
+            )
+
+
+def test_roundtrip_exact():
+    """import(export(params)) is bit-exact on every leaf."""
+    jcfg = _jcfg()
+    _, params = _init_params(jcfg)
+    sd = export_state_dict(params, jcfg)
+    back = import_state_dict(sd, jcfg)
+    _tree_eq(back, {"asr": params["asr"], "enhancer": params["enhancer"]})
+
+
+def test_blstm_matches_torch_bidirectional_lstm():
+    """Gate packing / key suffixes / bias summing vs a real torch LSTM."""
+    b, t, d, h = 3, 12, 10, 16
+    torch.manual_seed(0)
+    m = torch.nn.LSTM(d, h, 1, batch_first=True, bidirectional=True)
+    sd = {f"x.lstm.{k}": v for k, v in m.state_dict().items()}
+    p = _bilstm(sd, "lstm")
+    x = np.random.default_rng(1).standard_normal((b, t, d)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref, _ = m(torch.from_numpy(x))
+    mine = BLSTM(h).apply(
+        {"params": p}, jnp.asarray(x), jnp.ones((b, t), jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=0,
+                               atol=2e-5)
+
+
+def test_lstm_cell_matches_torch():
+    b, d, h = 4, 20, 16
+    torch.manual_seed(1)
+    cell = torch.nn.LSTMCell(d, h)
+    w = cell.state_dict()
+    params = {
+        "wx": w["weight_ih"].numpy().T,
+        "wh": w["weight_hh"].numpy().T,
+        "bias": (w["bias_ih"] + w["bias_hh"]).numpy(),
+    }
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((b, d)).astype(np.float32)
+    h0 = rng.standard_normal((b, h)).astype(np.float32)
+    c0 = rng.standard_normal((b, h)).astype(np.float32)
+    with torch.no_grad():
+        th, tc = cell(torch.from_numpy(x),
+                      (torch.from_numpy(h0), torch.from_numpy(c0)))
+    (mh, mc), _ = LSTMCell(h, in_features=d).apply(
+        {"params": params}, (jnp.asarray(h0), jnp.asarray(c0)),
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(mh), th.numpy(), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mc), tc.numpy(), rtol=0, atol=1e-5)
+
+
+def _torch_vgg(channels, sd_prefix="enc.enc1"):
+    """Reference-style VGG2L: conv(3x3, pad 1) x2 + ceil-mode maxpool per
+    block; output (B, C, T', F') -> (B, T', C*F')."""
+    convs = []
+    in_ch = 1
+    for i, ch in enumerate(channels):
+        c1 = torch.nn.Conv2d(in_ch, ch, 3, padding=1)
+        c2 = torch.nn.Conv2d(ch, ch, 3, padding=1)
+        convs.append((c1, c2))
+        in_ch = ch
+    sd = {}
+    for i, (c1, c2) in enumerate(convs):
+        for j, c in ((1, c1), (2, c2)):
+            sd[f"{sd_prefix}.conv{i + 1}_{j}.weight"] = c.weight
+            sd[f"{sd_prefix}.conv{i + 1}_{j}.bias"] = c.bias
+
+    def fwd(x):  # (B, T, D)
+        h = torch.from_numpy(x)[:, None]  # (B, 1, T, D)
+        with torch.no_grad():
+            for c1, c2 in convs:
+                h = torch.relu(c1(h))
+                h = torch.relu(c2(h))
+                h = torch.nn.functional.max_pool2d(h, 2, stride=2,
+                                                   ceil_mode=True)
+            b_, c_, t_, f_ = h.shape
+            return h.transpose(1, 2).reshape(b_, t_, c_ * f_).numpy()
+
+    return sd, fwd
+
+
+def test_vgg_flatten_permutation_vs_torch():
+    """The importer's conv transpose + the documented flatten permutation
+    reproduce the reference VGG2L output exactly."""
+    channels = (4, 8)
+    d = 20
+    torch.manual_seed(3)
+    sd, ref_fwd = _torch_vgg(channels)
+    jcfg = _jcfg()
+    jcfg = dataclasses.replace(
+        jcfg,
+        e2e=dataclasses.replace(
+            jcfg.e2e,
+            encoder=dataclasses.replace(jcfg.e2e.encoder, input_dim=d,
+                                        vgg_channels=channels),
+        ),
+    )
+    # pull just the vgg section through the importer's conv mapping
+    from tools.import_reference_ckpt import _get
+    vgg_params = {}
+    for i in range(len(channels)):
+        for j in (1, 2):
+            w = _get(sd, f"conv{i + 1}_{j}.weight")
+            b_ = _get(sd, f"conv{i + 1}_{j}.bias")
+            vgg_params[f"conv{i}_{j}"] = {
+                "kernel": np.transpose(w, (2, 3, 1, 0)),
+                "bias": b_,
+            }
+    x = np.random.default_rng(4).standard_normal((2, 9, d)).astype(
+        np.float32)
+    ref = ref_fwd(x)  # (B, T', C*F') channel-major
+    mine = np.asarray(
+        VGG2L(channels).apply({"params": vgg_params}, jnp.asarray(x))
+    )  # (B, T', F'*C) freq-major
+    perm = vgg_flatten_permutation(d, channels[-1])
+    np.testing.assert_allclose(mine, ref[:, :, perm], rtol=0, atol=1e-5)
+
+
+def test_attloc_scores_match_espnet_formula_with_biases():
+    """AttLoc with imported weights reproduces the reference scoring
+    formula INCLUDING mlp_enc bias (kept via enc_proj_bias) and gvec bias
+    (dropped — constant pre-softmax shift, provably softmax-invariant)."""
+    b, t, e_dim, a, c, k = 2, 7, 12, 10, 4, 31
+    rng = np.random.default_rng(5)
+    w_enc = rng.standard_normal((a, e_dim)).astype(np.float32) * 0.3
+    b_enc = rng.standard_normal((a,)).astype(np.float32) * 0.3
+    w_dec = rng.standard_normal((a, e_dim)).astype(np.float32) * 0.3
+    w_att = rng.standard_normal((a, c)).astype(np.float32) * 0.3
+    w_gv = rng.standard_normal((1, a)).astype(np.float32) * 0.3
+    b_gv = np.float32(0.7)  # nonzero on purpose: must not change softmax
+    conv_w = rng.standard_normal((c, 1, 1, k)).astype(np.float32) * 0.3
+
+    enc = rng.standard_normal((b, t, e_dim)).astype(np.float32)
+    dec_z = rng.standard_normal((b, e_dim)).astype(np.float32)
+    att_prev = rng.random((b, t)).astype(np.float32)
+    att_prev /= att_prev.sum(-1, keepdims=True)
+    sharp = 2.0
+
+    # reference formula (numpy): conv over alignment, additive tanh score
+    pad = k // 2
+    ap = np.pad(att_prev, ((0, 0), (pad, pad)))
+    loc = np.asarray(
+        [[[np.sum(ap[bi, s:s + k] * conv_w[ci, 0, 0]) for ci in range(c)]
+          for s in range(t)] for bi in range(b)],
+        dtype=np.float32,
+    )  # (B, T, C)
+    pre = (
+        enc @ w_enc.T + b_enc + loc @ w_att.T + (dec_z @ w_dec.T)[:, None]
+    )
+    scores = np.tanh(pre) @ w_gv[0] + b_gv
+    ref_att = np.exp(sharp * scores - (sharp * scores).max(-1,
+                                                           keepdims=True))
+    ref_att /= ref_att.sum(-1, keepdims=True)
+    ref_ctx = np.einsum("bt,bte->be", ref_att, enc)
+
+    acfg = AttentionConfig(dim=a, conv_channels=c, conv_kernel=k,
+                           sharpening=sharp, enc_proj_bias=True)
+    att_params = {
+        "mlp_dec": {"kernel": w_dec.T},
+        "mlp_loc": {"kernel": w_att.T},
+        "gvec": {"kernel": w_gv.T},
+        "loc_conv": {"kernel": np.transpose(conv_w, (3, 2, 1, 0))[:, 0]},
+    }
+    proj = EncoderProjection(acfg).apply(
+        {"params": {"mlp_enc": {"kernel": w_enc.T, "bias": b_enc}}},
+        jnp.asarray(enc),
+    )
+    ctx, att = AttLoc(acfg).apply(
+        {"params": att_params}, jnp.asarray(enc), proj,
+        jnp.ones((b, t), jnp.float32), jnp.asarray(dec_z),
+        jnp.asarray(att_prev),
+    )
+    np.testing.assert_allclose(np.asarray(att), ref_att, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx), ref_ctx, rtol=0, atol=1e-5)
+
+
+def test_z_only_readout_zero_pads_context_rows():
+    jcfg = _jcfg()
+    _, params = _init_params(jcfg)
+    sd = export_state_dict(params, jcfg)
+    hdim = jcfg.e2e.decoder.hidden_dim
+    v = jcfg.e2e.decoder.vocab_size
+    # replace with a reference-era z-only readout
+    w_small = np.random.default_rng(6).standard_normal(
+        (v, hdim)).astype(np.float32)
+    sd["dec.output.weight"] = w_small
+    back = import_state_dict(sd, jcfg)
+    kern = back["asr"]["decoder"]["step_mod"]["output"]["kernel"]
+    np.testing.assert_array_equal(kern[:hdim], w_small.T)
+    assert not kern[hdim:].any()
+
+
+def test_cli_import_produces_decodable_experiment(tmp_path):
+    """End-to-end: torch .pth + config JSON -> experiment dir the decode
+    loader restores, with the imported weights surviving the round trip."""
+    jcfg = _jcfg()
+    _, params = _init_params(jcfg)
+    sd = export_state_dict(params, jcfg)
+    pth = tmp_path / "ref.pth"
+    torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd.items()}}, pth)
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg_lib.to_dict(jcfg), f)
+
+    out = tmp_path / "exp"
+    from tools.import_reference_ckpt import main as import_main
+    import_main([str(pth), str(out), "--config", str(cfg_path)])
+
+    from robust_e2e_gan_tpu.decode.cli import load_experiment
+    model, disc, state, jcfg2, tok, step, kind, logd = load_experiment(
+        str(out), which="latest", serving_impls="xla"
+    )
+    _tree_eq(
+        {"asr": jax.tree_util.tree_map(np.asarray, state.params_g["asr"])},
+        {"asr": jax.tree_util.tree_map(np.asarray, params["asr"])},
+    )
+    assert getattr(jcfg2.e2e.attention, "enc_proj_bias", False)
