@@ -26,8 +26,10 @@ run_job() {
   echo "[stage2] job $name rc=$? end $(date -u)" >> results/r4_hw/watch.log
 }
 
+run_job verify_drive2     2400 python -u scripts/verify_drive.py 400
 run_job verify_fused2     2400 python -u scripts/verify_fused.py
 run_job bench_wavefront   2400 python -u scripts/bench_wavefront.py
+run_job bench_beam_parts  2400 python -u scripts/bench_beam_parts.py
 run_job adv_benefit_toy   3600 python -u scripts/adversarial_benefit.py 800 800
 run_job adv_benefit_ref   5400 python -u scripts/adversarial_benefit.py 1500 1200 --scale reference --lm
 echo "[stage2] ALL STAGE2 JOBS DONE $(date -u)" >> results/r4_hw/watch.log
