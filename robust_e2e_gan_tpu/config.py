@@ -127,9 +127,12 @@ class DecoderConfig:
     # Beam-mode step implementation: "xla" (reference-exact), "fused"
     # (ops/att_pallas.py att_dec_step_fused — attention + embedding +
     # LSTM cell + readout in ONE Mosaic program; requires num_layers=1,
-    # the location attention variant), "auto" (fused on
-    # TPU when those hold, xla elsewhere). Training and the non-beam
-    # step always use the XLA path; parameters are impl-independent.
+    # the location attention variant), "auto" = xla: the round-4 on-chip
+    # A/B measured the fully-fused step ~3% slower than the fused
+    # attention kernel + XLA cell (2120.2 vs 2184.6 utt/s at bench
+    # shapes, results/kernel_ab.json), so auto takes the measured winner.
+    # Training and the non-beam step always use the XLA path; parameters
+    # are impl-independent.
     step_impl: str = "auto"
 
 

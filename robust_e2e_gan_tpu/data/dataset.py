@@ -79,6 +79,85 @@ class CharTokenizer:
             return cls(json.load(f)["chars"])
 
 
+class TableTokenizer:
+    """Explicit token<->id table for reference/Kaldi id layouts.
+
+    An imported reference checkpoint's embedding/CTC rows follow the
+    REFERENCE's id assignment (ESPnet-era: blank=0, units at their
+    units.txt ids, shared <sos>/<eos> appended at vocab-1), which the
+    fixed-layout CharTokenizer cannot represent. This tokenizer carries
+    the table verbatim; E2EConfig.{blank,sos,eos}_id carry the special
+    ids (tools/import_reference_ckpt.py --units wires both).
+    """
+
+    def __init__(self, id2tok: Dict[int, str], blank_id: int = 0,
+                 sos_eos_id: Optional[int] = None, unk_id: Optional[int] = None):
+        self.id2tok = {int(k): v for k, v in id2tok.items()}
+        self.blank_id = blank_id
+        self.sos_eos_id = (max(self.id2tok) + 1 if sos_eos_id is None
+                           else sos_eos_id)
+        self.unk_id = unk_id
+        self._to_id = {v: k for k, v in self.id2tok.items()}
+
+    @classmethod
+    def from_units(cls, path: str) -> "TableTokenizer":
+        """Kaldi/ESPnet units.txt: one "token id" pair per line; blank=0
+        implicit, <sos>/<eos> appended after the last unit id."""
+        id2tok = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                tok, idx = parts[0], int(parts[1])
+                id2tok[idx] = tok
+        unk = next((i for i, t in id2tok.items() if t.lower() == "<unk>"),
+                   None)
+        return cls(id2tok, blank_id=0, unk_id=unk)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.sos_eos_id + 1
+
+    def encode(self, text: str) -> List[int]:
+        unk = self.unk_id if self.unk_id is not None else self.blank_id
+        return [self._to_id.get(c, unk) for c in text]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        skip = {self.blank_id, self.sos_eos_id}
+        return "".join(
+            self.id2tok.get(int(i), "<unk>")
+            for i in ids if int(i) not in skip
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({
+                "kind": "table",
+                "id2tok": {str(k): v for k, v in self.id2tok.items()},
+                "blank_id": self.blank_id,
+                "sos_eos_id": self.sos_eos_id,
+                "unk_id": self.unk_id,
+            }, f)
+
+    @classmethod
+    def load(cls, path: str) -> "TableTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["id2tok"], d.get("blank_id", 0), d.get("sos_eos_id"),
+                   d.get("unk_id"))
+
+
+def load_tokenizer(path: str):
+    """Dispatch on the saved JSON layout (CharTokenizer vs TableTokenizer)."""
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("kind") == "table":
+        return TableTokenizer(d["id2tok"], d.get("blank_id", 0),
+                              d.get("sos_eos_id"), d.get("unk_id"))
+    return CharTokenizer(d["chars"])
+
+
 @dataclass
 class Utterance:
     utt_id: str

@@ -30,6 +30,7 @@ from robust_e2e_gan_tpu.data.dataset import (
     AudioTextDataset,
     BucketBatcher,
     CharTokenizer,
+    load_tokenizer,
 )
 from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
@@ -149,7 +150,9 @@ def load_experiment(ckpt_dir: str, which: str = "best",
     )
     input_kind = saved.get("input_kind", "wav")
     tok_path = os.path.join(ckpt_dir, "tokenizer.json")
-    tok = CharTokenizer.load(tok_path) if os.path.exists(tok_path) else None
+    # load_tokenizer dispatches CharTokenizer vs TableTokenizer (imported
+    # reference checkpoints carry the reference's own id table)
+    tok = load_tokenizer(tok_path) if os.path.exists(tok_path) else None
 
     cmvn_stats = None
     cmvn_ark = os.path.join(ckpt_dir, "cmvn.ark")

@@ -160,12 +160,22 @@ class DecoderStep(nn.Module):
     def _fused_step(self) -> bool:
         """Full-step fusion gate: config + structural requirements (one
         LSTM layer, location attention; vocab bound checked by the
-        kernel plan)."""
+        kernel plan).
+
+        "auto" resolves to the XLA step (fused attention kernel + XLA
+        cell/readout): the round-4 on-chip A/B measured the fully-fused
+        step ~3% SLOWER than that combination at bench shapes (2120.2 vs
+        2184.6 utt/s, 3 reps each — results/kernel_ab.json), the serial
+        one-hot embedding matmul inside the kernel costing more than the
+        HBM round-trips it saves. "fused" still forces the kernel."""
         if self.dcfg.num_layers != 1 or self.acfg.variant != "location":
             return False
         from robust_e2e_gan_tpu.utils.impl import fused_enabled
 
-        return fused_enabled(getattr(self.dcfg, "step_impl", "auto"))
+        impl = getattr(self.dcfg, "step_impl", "auto")
+        if impl == "auto":
+            return False
+        return fused_enabled(impl)
 
 
 class Decoder(nn.Module):

@@ -15,12 +15,16 @@ pure JAX") implemented the TPU-native way: a fused kernel where CUDA had
 one, with the XLA scan retained as the oracle and large-shape fallback.
 
 Numerics: identical formulas to ops/ctc.py (same _NEG_INF encoding,
-clamps, freeze-past-length semantics). The shift matmuls introduce f32-
-matmul-level rounding on the copied values (MXU f32 is a multi-pass
-decomposition), so sentinel comparisons use a -5e29 threshold instead of
-exact equality; equivalence vs the scan path is tested to 1e-5 and the
-gradient to 1e-5 (tests/test_ctc_pallas.py, plus the torch oracle through
-the public ctc_loss API).
+clamps, freeze-past-length semantics). Every in-kernel dot is pinned to
+HIGHEST precision so the 0/1 shift matrices copy f32 values EXACTLY —
+at default MXU precision the inputs are rounded to bf16 first, which
+round-3/4 on-chip runs measured as up to 8e-4 absolute gradient error vs
+the scan path (results/r4_hw/verify_fused2.log); these (Up, Up) dots are
+negligible next to the kernel's transcendentals, so exactness is free.
+Sentinel comparisons still use a -5e29 threshold as defensive margin.
+Equivalence vs the scan path is tested to 1e-5 and the gradient to 1e-5
+(tests/test_ctc_pallas.py, plus the torch oracle through the public
+ctc_loss API), and on chip by scripts/verify_fused.py.
 """
 
 from __future__ import annotations
@@ -71,10 +75,12 @@ def _fwd_kernel(t1: int, b: int, up: int):
         def body(i, alpha):
             t_idx = (i + 1).astype(jnp.float32)
             sh1 = jax.lax.dot(
-                alpha, s1_scr[...], preferred_element_type=jnp.float32
+                alpha, s1_scr[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             ) + neg1
             sh2 = jax.lax.dot(
-                alpha, s2_scr[...], preferred_element_type=jnp.float32
+                alpha, s2_scr[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             ) + neg2 + skip_ref[...]
             m = jnp.maximum(jnp.maximum(alpha, sh1), sh2)
             safe_m = jnp.where(m <= _NEG_THRESH, 0.0, m)
@@ -109,10 +115,12 @@ def _fwd_only_kernel(t1: int, b: int, up: int):
         def body(i, alpha):
             t_idx = (i + 1).astype(jnp.float32)
             sh1 = jax.lax.dot(
-                alpha, s1_scr[...], preferred_element_type=jnp.float32
+                alpha, s1_scr[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             ) + neg1
             sh2 = jax.lax.dot(
-                alpha, s2_scr[...], preferred_element_type=jnp.float32
+                alpha, s2_scr[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             ) + neg2 + skip_ref[...]
             m = jnp.maximum(jnp.maximum(alpha, sh1), sh2)
             safe_m = jnp.where(m <= _NEG_THRESH, 0.0, m)
@@ -163,10 +171,12 @@ def _bwd_kernel(t1: int, b: int, up: int):
             dpre = da_na * finite
             # path weights w_i = exp(x_i - pre) (zero where impossible)
             sh1 = jax.lax.dot(
-                a_prev, s1_scr[...], preferred_element_type=jnp.float32
+                a_prev, s1_scr[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             ) + neg1
             sh2 = jax.lax.dot(
-                a_prev, s2_scr[...], preferred_element_type=jnp.float32
+                a_prev, s2_scr[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             ) + neg2 + skip_ref[...]
             safe_pre = jnp.where(pre <= _NEG_THRESH, 0.0, pre)
             w0 = jnp.exp(jnp.maximum(a_prev - safe_pre, _NEG_INF))
@@ -175,10 +185,12 @@ def _bwd_kernel(t1: int, b: int, up: int):
             g1 = jax.lax.dot(
                 w1 * dpre, s1t_scr[...],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             g2 = jax.lax.dot(
                 w2 * dpre, s2t_scr[...],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return w0 * dpre + g1 + g2 + da_pass
 

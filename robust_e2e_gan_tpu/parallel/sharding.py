@@ -196,6 +196,14 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
 
 _KERNEL_MESH: Optional[Tuple[Mesh, str]] = None
 
+# Count of kernel calls traced UNWRAPPED (no mesh registered) while this
+# process could see >1 device. Such traces are cached by jit keyed on
+# avals only, so registering a mesh afterwards silently leaves those
+# compiled programs all-gathering their kernels — the one ambient-state
+# failure mode of this design. set_kernel_mesh turns it into a loud
+# warning instead of a silent performance loss.
+_UNWRAPPED_MULTIDEVICE_TRACES: int = 0
+
 
 def set_kernel_mesh(mesh: Optional[Mesh], axis: str = DATA_AXIS) -> None:
     """Register (or clear, with None) the ambient kernel mesh.
@@ -205,9 +213,30 @@ def set_kernel_mesh(mesh: Optional[Mesh], axis: str = DATA_AXIS) -> None:
     the registration at trace time, and jit caches are keyed on argument
     avals only — a function traced earlier keeps its unwrapped
     (all-gathering) kernels for those shapes. The CLIs register the mesh
-    immediately after building it, before any model call.
+    immediately after building it, before any model call; registering
+    after kernel-bearing traces already happened warns loudly (those
+    cached programs keep the slow semantics until re-jitted).
     """
-    global _KERNEL_MESH
+    global _KERNEL_MESH, _UNWRAPPED_MULTIDEVICE_TRACES
+    if mesh is not None and _UNWRAPPED_MULTIDEVICE_TRACES:
+        import warnings
+
+        warnings.warn(
+            f"set_kernel_mesh called after {_UNWRAPPED_MULTIDEVICE_TRACES} "
+            "kernel call(s) were already traced without a mesh on a "
+            "multi-device process. jit caches are keyed on shapes only, "
+            "so those compiled programs will KEEP all-gathering their "
+            "Pallas kernels; register the mesh before the first model "
+            "call (or re-jit / change batch shape) to get shard_map'd "
+            "kernels.",
+            stacklevel=2,
+        )
+        _UNWRAPPED_MULTIDEVICE_TRACES = 0
+    if mesh is None:
+        # explicitly clearing is deliberate scope management (CLIs do it
+        # on their no-mesh paths) — start the late-registration tally
+        # fresh from here
+        _UNWRAPPED_MULTIDEVICE_TRACES = 0
     _KERNEL_MESH = None if mesh is None else (mesh, axis)
 
 
@@ -216,7 +245,9 @@ def current_kernel_mesh() -> Optional[Tuple[Mesh, str]]:
 
 
 class kernel_mesh:
-    """Context manager form of set_kernel_mesh (used by tests)."""
+    """Context manager form of set_kernel_mesh (used by tests; scoped
+    use intentionally interleaves wrapped and unwrapped traces, so it
+    skips the late-registration warning)."""
 
     def __init__(self, mesh: Optional[Mesh], axis: str = DATA_AXIS):
         self.arg = (mesh, axis)
@@ -224,7 +255,8 @@ class kernel_mesh:
     def __enter__(self):
         global _KERNEL_MESH
         self.prev = _KERNEL_MESH
-        set_kernel_mesh(*self.arg)
+        mesh, axis = self.arg
+        _KERNEL_MESH = None if mesh is None else (mesh, axis)
 
     def __exit__(self, *exc):
         global _KERNEL_MESH
@@ -256,6 +288,9 @@ def sharded_kernel_call(fn, batch_size: int, in_batched, out_batched=True):
     """
     km = _KERNEL_MESH
     if km is None:
+        if len(jax.devices()) > 1:
+            global _UNWRAPPED_MULTIDEVICE_TRACES
+            _UNWRAPPED_MULTIDEVICE_TRACES += 1
         return fn
     mesh, axis = km
     n = int(mesh.shape[axis])

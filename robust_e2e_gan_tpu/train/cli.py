@@ -107,12 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "projections — 'compute' halves the backward's "
                         "dominant HBM residual under --compute-dtype "
                         "bfloat16 (v5e numbers in BASELINE.md)")
-    p.add_argument("--lstm-impl", choices=("scan", "fused"),
-                   default="scan",
+    p.add_argument("--lstm-impl", choices=("auto", "scan", "fused"),
+                   default="auto",
                    help="BLSTM frame-loop impl for TRAINING: 'fused' uses "
                         "the differentiable Pallas forward+backward "
                         "kernels (ops/blstm_train_pallas.py) on layers "
-                        "that fit the VMEM budget, scan elsewhere")
+                        "that fit the VMEM budget, scan elsewhere. "
+                        "'auto' (default) = fused on TPU (on-chip A/B: "
+                        "flagship joint step 25.0 vs 36.1 ms, "
+                        "results/r4_hw/bench_train.log; grads gated vs "
+                        "scan at HIGHEST precision by "
+                        "scripts/verify_fused.py), scan on other "
+                        "backends")
     p.add_argument("--cmvn",
                    choices=("utterance", "global", "speaker", "none"),
                    default="utterance")
@@ -152,6 +158,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def configs_from_args(args, vocab_size: int):
+    # TRAIN-side "auto": the BLSTM config knob's own "auto" means the
+    # forward-only tiled kernel (serving); for training it must resolve
+    # here instead — fused custom-VJP kernels on TPU (the measured
+    # winner), differentiable scan elsewhere (CPU Pallas = interpret
+    # mode, far too slow to be a default).
+    if args.lstm_impl == "auto":
+        import jax
+
+        args.lstm_impl = ("fused" if jax.default_backend() == "tpu"
+                          else "scan")
     jcfg = JointConfig(
         e2e=E2EConfig(
             frontend=FrontendConfig(n_mels=args.n_mels, cmvn=args.cmvn,

@@ -42,14 +42,14 @@ VOCAB = 52
 
 
 def ref_cfg(remat: bool, unroll: int = 4,
-            gate_storage: str = "f32") -> JointConfig:
+            gate_storage: str = "f32", lstm_impl: str = "scan") -> JointConfig:
     return JointConfig(
         e2e=E2EConfig(
             frontend=FrontendConfig(n_mels=80),
             encoder=EncoderConfig(
                 input_dim=80, num_layers=3, hidden_dim=512, proj_dim=512,
                 remat=remat, scan_unroll=unroll,
-                gate_storage=gate_storage,
+                gate_storage=gate_storage, lstm_impl=lstm_impl,
             ),
             attention=AttentionConfig(dim=512, conv_kernel=201),
             decoder=DecoderConfig(vocab_size=VOCAB, embed_dim=512,
@@ -57,7 +57,8 @@ def ref_cfg(remat: bool, unroll: int = 4,
         ),
         enhancer=EnhancerConfig(input_dim=257, num_layers=2, hidden_dim=512,
                                 remat=remat, scan_unroll=unroll,
-                                gate_storage=gate_storage),
+                                gate_storage=gate_storage,
+                                lstm_impl=lstm_impl),
         discriminator=DiscriminatorConfig(input_dim=80,
                                           channels=(32, 64, 128)),
         compute_dtype="bfloat16",
@@ -65,8 +66,8 @@ def ref_cfg(remat: bool, unroll: int = 4,
 
 
 def time_step(remat: bool, batch: int, unroll: int = 4,
-              gate_storage: str = "f32"):
-    jcfg = ref_cfg(remat, unroll, gate_storage)
+              gate_storage: str = "f32", lstm_impl: str = "scan"):
+    jcfg = ref_cfg(remat, unroll, gate_storage, lstm_impl)
     model = build_model(jcfg)
     disc = Discriminator(jcfg.discriminator)
     tcfg = TrainConfig(optimizer="adadelta", batch_size=batch)
@@ -97,18 +98,36 @@ def time_step(remat: bool, batch: int, unroll: int = 4,
             "loss0": round(loss0, 3)}
 
 
-def main():
+ALL_CASES = (
+    # name, remat, batch, gate_storage, lstm_impl
+    ("B32", False, 32, "f32", "scan"),
+    ("B32_remat", True, 32, "f32", "scan"),
+    ("B64", False, 64, "f32", "scan"),
+    ("B64_remat", True, 64, "f32", "scan"),
+    ("B32_gates_bf16", False, 32, "compute", "scan"),
+    ("B64_gates_bf16", False, 64, "compute", "scan"),
+    # fused-train Pallas BLSTM kernels (round-4; the flagship-shape win is
+    # 36.1 -> 25.0 ms, results/r4_hw/bench_train.log) at reference scale —
+    # the VERDICT #3 "prove < 50.9 ms at 36M params" row
+    ("B32_fused", False, 32, "f32", "fused"),
+    ("B64_fused", False, 64, "f32", "fused"),
+)
+
+
+def main(argv=None):
+    names = set((argv if argv is not None else sys.argv)[1:])
+    # merge into the recorded sweep so a short re-run (e.g. just the fused
+    # rows) keeps the older rows' numbers alongside
     out = {}
-    for name, remat, batch, gs in (
-        ("B32", False, 32, "f32"),
-        ("B32_remat", True, 32, "f32"),
-        ("B64", False, 64, "f32"),
-        ("B64_remat", True, 64, "f32"),
-        ("B32_gates_bf16", False, 32, "compute"),
-        ("B64_gates_bf16", False, 64, "compute"),
-    ):
+    if os.path.exists("results/train_scale.json"):
+        with open("results/train_scale.json") as f:
+            out = json.load(f)
+    for name, remat, batch, gs, impl in ALL_CASES:
+        if names and name not in names:
+            continue
         try:
-            out[name] = time_step(remat, batch, gate_storage=gs)
+            out[name] = time_step(remat, batch, gate_storage=gs,
+                                  lstm_impl=impl)
         except Exception as e:  # transient tunnel errors — record and go on
             out[name] = {"error": str(e)[:200]}
         print(name, out[name], flush=True)

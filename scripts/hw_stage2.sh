@@ -1,11 +1,13 @@
 #!/bin/bash
 # Round-4 stage-2 hardware jobs: runs after the stage-1 watcher
-# (scripts/hw_watch.sh) finishes its queue. Covers the round-3 VERDICT
-# items the stage-1 queue could not: the re-gated verify_fused (the
-# precision-control restructure landed after stage 1 started), the
-# layer-wavefront accept/reject measurement (#9), and the paper-claim
-# protocol on the v3 hard task at toy AND reference scale with LM-fusion
-# decode (#5).
+# (scripts/hw_watch.sh) finishes its queue. Priority-ordered for the
+# remaining round-4 wall clock — the short must-be-green gates first
+# (the 09:49 verify_fused run failed on the since-replaced fixed
+# tolerance; the restructured HIGHEST-precision gate needs a green
+# on-chip log), then the paper-claim protocol on the v3 hard task (toy
+# then reference scale with LM-fusion decode), then the measurement
+# stragglers (wavefront accept/reject, fused-train at reference scale,
+# beam stage attribution).
 #
 # Usage: bash scripts/hw_stage2.sh
 set -u
@@ -26,10 +28,11 @@ run_job() {
   echo "[stage2] job $name rc=$? end $(date -u)" >> results/r4_hw/watch.log
 }
 
+run_job verify_fused2     1800 python -u scripts/verify_fused.py
 run_job verify_drive2     2400 python -u scripts/verify_drive.py 400
-run_job verify_fused2     2400 python -u scripts/verify_fused.py
-run_job bench_wavefront   2400 python -u scripts/bench_wavefront.py
-run_job bench_beam_parts  2400 python -u scripts/bench_beam_parts.py
-run_job adv_benefit_toy   3600 python -u scripts/adversarial_benefit.py 800 800
+run_job adv_benefit_toy   2400 python -u scripts/adversarial_benefit.py 800 800
 run_job adv_benefit_ref   5400 python -u scripts/adversarial_benefit.py 1500 1200 --scale reference --lm
+run_job bench_wavefront   1800 python -u scripts/bench_wavefront.py
+run_job train_scale_fused 2400 python -u scripts/bench_train_scale.py B32 B32_fused B64_fused
+run_job bench_beam_parts  1800 python -u scripts/bench_beam_parts.py
 echo "[stage2] ALL STAGE2 JOBS DONE $(date -u)" >> results/r4_hw/watch.log

@@ -275,6 +275,61 @@ def test_z_only_readout_zero_pads_context_rows():
     assert not kern[hdim:].any()
 
 
+def test_units_table_tokenizer_roundtrip(tmp_path):
+    """Kaldi/ESPnet units.txt -> reference-layout tokenizer: blank=0,
+    units at their own ids, shared <sos>/<eos> at vocab-1; save/load
+    through the dispatching loader."""
+    from robust_e2e_gan_tpu.data.dataset import (
+        TableTokenizer, load_tokenizer,
+    )
+
+    units = tmp_path / "units.txt"
+    units.write_text(
+        "\n".join(f"{c} {i + 1}" for i, c in enumerate("abcdefghij"))
+    )
+    tok = TableTokenizer.from_units(str(units))
+    assert tok.vocab_size == 12 and tok.blank_id == 0
+    assert tok.sos_eos_id == 11
+    ids = tok.encode("cab")
+    assert ids == [3, 1, 2]
+    assert tok.decode(ids + [0, 11]) == "cab"  # blank/eos skipped
+    p = tmp_path / "tokenizer.json"
+    tok.save(str(p))
+    tok2 = load_tokenizer(str(p))
+    assert tok2.decode(ids) == "cab"
+    assert tok2.vocab_size == 12
+
+
+def test_cli_import_with_units_patches_ids(tmp_path):
+    """--units emits the table tokenizer and patches blank/sos/eos ids to
+    the reference layout in the saved config."""
+    jcfg = _jcfg()
+    _, params = _init_params(jcfg)
+    sd = export_state_dict(params, jcfg)
+    pth = tmp_path / "ref.pth"
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, pth)
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg_lib.to_dict(jcfg), f)
+    units = tmp_path / "units.txt"
+    units.write_text(
+        "\n".join(f"{c} {i + 1}" for i, c in enumerate("abcdefghij"))
+    )
+    out = tmp_path / "exp"
+    from tools.import_reference_ckpt import main as import_main
+    import_main([str(pth), str(out), "--config", str(cfg_path),
+                 "--units", str(units)])
+    with open(out / "config.json") as f:
+        saved = json.load(f)
+    assert saved["joint"]["e2e"]["sos_id"] == 11
+    assert saved["joint"]["e2e"]["eos_id"] == 11
+    assert saved["joint"]["e2e"]["blank_id"] == 0
+    from robust_e2e_gan_tpu.data.dataset import load_tokenizer
+    tok = load_tokenizer(str(out / "tokenizer.json"))
+    assert tok.vocab_size == 12
+
+
 def test_cli_import_produces_decodable_experiment(tmp_path):
     """End-to-end: torch .pth + config JSON -> experiment dir the decode
     loader restores, with the imported weights surviving the round trip."""

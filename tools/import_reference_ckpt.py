@@ -416,6 +416,10 @@ def main(argv=None):
                     "train CLI also works)")
     ap.add_argument("--tokenizer", default=None,
                     help="optional tokenizer.json to copy alongside")
+    ap.add_argument("--units", default=None,
+                    help="reference Kaldi/ESPnet units.txt ('token id' "
+                    "lines); emits a table tokenizer in the reference's "
+                    "own id layout and patches vocab/sos/eos ids")
     args = ap.parse_args(argv)
 
     import torch
@@ -448,6 +452,33 @@ def main(argv=None):
     else:
         jcfg = cfg_lib.from_dict(JointConfig, saved)
         tcfg = TrainConfig()
+
+    tok = None
+    if args.units:
+        from robust_e2e_gan_tpu.data.dataset import TableTokenizer
+
+        tok = TableTokenizer.from_units(args.units)
+        v = tok.vocab_size
+        emb_v = _get(sd, "embed.weight").shape[0]
+        if v != emb_v:
+            raise ValueError(
+                f"units.txt implies vocab {v} (blank 0 + units + sos/eos "
+                f"{tok.sos_eos_id}) but the embedding has {emb_v} rows"
+            )
+        # reference id layout: blank=0, shared <sos>/<eos> at vocab-1
+        jcfg = dataclasses.replace(
+            jcfg,
+            e2e=dataclasses.replace(
+                jcfg.e2e,
+                blank_id=tok.blank_id,
+                sos_id=tok.sos_eos_id, eos_id=tok.sos_eos_id,
+                decoder=dataclasses.replace(
+                    jcfg.e2e.decoder, vocab_size=v
+                ),
+            ),
+        )
+        print(f"units.txt: vocab {v}, blank {tok.blank_id}, "
+              f"sos/eos {tok.sos_eos_id}")
 
     if _find(sd, "mlp_enc.bias", optional=True) is not None and not getattr(
         jcfg.e2e.attention, "enc_proj_bias", False
@@ -498,6 +529,8 @@ def main(argv=None):
     if args.tokenizer:
         shutil.copy(args.tokenizer,
                     os.path.join(args.out_dir, "tokenizer.json"))
+    elif tok is not None:
+        tok.save(os.path.join(args.out_dir, "tokenizer.json"))
     ckpt.save_checkpoint(args.out_dir, state, step=0)
     n = sum(int(np.prod(s)) for _, s in _tree_paths(params))
     print(f"imported {n / 1e6:.1f}M reference params -> {args.out_dir} "
