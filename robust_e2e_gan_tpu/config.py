@@ -264,6 +264,11 @@ class TrainConfig:
 
     optimizer: str = "adadelta"  # adadelta | adam
     learning_rate: float = 1.0  # adadelta rho-style lr; adam uses 1e-3
+    # linear LR warmup over this many steps (adam only; 0 = constant LR).
+    # The adadelta side's stability knob is the reference's eps-decay; this
+    # is the adam-side equivalent, needed for >10M-param configs where a
+    # cold 1e-3 step destabilizes the BLSTM stacks.
+    warmup_steps: int = 0
     adadelta_rho: float = 0.95
     adadelta_eps: float = 1e-8
     eps_decay: float = 0.01  # multiply eps on dev-accuracy plateau

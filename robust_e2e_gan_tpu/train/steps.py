@@ -50,7 +50,15 @@ def create_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
             eps=tcfg.adadelta_eps,
         )
     elif tcfg.optimizer == "adam":
-        opt = optax.adam(tcfg.learning_rate)
+        if tcfg.warmup_steps > 0:
+            sched = optax.linear_schedule(
+                init_value=tcfg.learning_rate / max(tcfg.warmup_steps, 1),
+                end_value=tcfg.learning_rate,
+                transition_steps=tcfg.warmup_steps,
+            )
+            opt = optax.adam(sched)
+        else:
+            opt = optax.adam(tcfg.learning_rate)
     else:
         raise ValueError(f"unknown optimizer {tcfg.optimizer!r}")
     return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), opt)

@@ -95,6 +95,11 @@ def jcfg_for(scale: str) -> JointConfig:
     )
 
 
+# Default optimization recipe (toy scale). The reference-scale (36M-param)
+# config needs the gentler recipe measured in round 4: the first on-chip
+# run at Adam 1e-3 / bs=16 plateaued at acc~0.35 (results/r4_hw/
+# adv_benefit_ref.log) — classic cold-high-LR stall of deep BLSTM stacks —
+# so the stage-4 rerun passes --lr 3e-4 --warmup 600 --bs 32.
 TCFG = TrainConfig(optimizer="adam", learning_rate=1e-3)
 PAD_TO = SCFG.max_samples
 
@@ -151,8 +156,12 @@ def train_char_lm(rng, steps=600, bs=64):
     return lm, state.params, float(m["ppl"])
 
 
-def main(steps_a=400, steps_c=400, scale="toy", with_lm=False):
-    print(f"backend: {jax.default_backend()} scale={scale}", flush=True)
+def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
+         lr=1e-3, warmup=0, bs=16):
+    print(f"backend: {jax.default_backend()} scale={scale} "
+          f"lr={lr} warmup={warmup} bs={bs}", flush=True)
+    tcfg = dataclasses.replace(TCFG, learning_rate=lr, warmup_steps=warmup,
+                               batch_size=bs)
     jcfg = jcfg_for(scale)
     # Stage-(b) loss weights: a separately-trained enhancement frontend is
     # MSE-dominant (the adversarial term against a winning D only distorts
@@ -161,12 +170,12 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False):
     model = RobustE2E(jcfg)
     disc = Discriminator(jcfg.discriminator)
     rng = np.random.default_rng(0)
-    sample = next(batches(rng, 1))
-    state, opt_g, opt_d = init_train_state(model, disc, TCFG, sample, seed=0)
+    sample = next(batches(rng, 1, bs=bs))
+    state, opt_g, opt_d = init_train_state(model, disc, tcfg, sample, seed=0)
 
     # ---- stage (a): clean-ASR pretrain
     step_a = make_asr_pretrain_step(model, opt_g, use_enhancer=False)
-    for i, b in enumerate(batches(rng, steps_a)):
+    for i, b in enumerate(batches(rng, steps_a, bs=bs)):
         state, m = step_a(state, b)
         if i % 100 == 0:
             print(f"[asr] step {i} acc={float(m['acc']):.3f}", flush=True)
@@ -188,7 +197,7 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False):
     # so it gets 2x the steps.
     step_b = make_joint_train_step(model, disc, jcfg_cascade, opt_g, opt_d,
                                    with_asr=False)
-    for i, b in enumerate(batches(rng, 2 * steps_c)):
+    for i, b in enumerate(batches(rng, 2 * steps_c, bs=bs)):
         state, m = step_b(state, b)
         if i % 200 == 0:
             print(f"[gan] step {i} d={float(m['loss_d']):.3f} "
@@ -201,7 +210,7 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False):
     # ---- stage (c): joint adversarial fine-tune from (a)+(b)
     step_c = make_joint_train_step(model, disc, jcfg, opt_g, opt_d,
                                    with_asr=True)
-    for i, b in enumerate(batches(rng, steps_c)):
+    for i, b in enumerate(batches(rng, steps_c, bs=bs)):
         state, m = step_c(state, b)
         if i % 100 == 0:
             print(f"[joint] step {i} acc={float(m['acc']):.3f} "
@@ -241,6 +250,8 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False):
             1.0 - wer_joint["wer"] / max(wer_noisy_raw["wer"], 1e-9), 4
         ),
         "steps": {"asr_pretrain": steps_a, "joint": steps_c},
+        "recipe": {"optimizer": "adam", "lr": lr, "warmup_steps": warmup,
+                   "batch_size": bs},
         "snr_range_db": list(SCFG.snr_range_db),
         "reverb_t60": SCFG.reverb_t60,
         "babble_streams": SCFG.babble_streams,
@@ -269,5 +280,10 @@ if __name__ == "__main__":
     ap.add_argument("--scale", choices=("toy", "reference"), default="toy")
     ap.add_argument("--lm", action="store_true",
                     help="also decode with char-RNNLM shallow fusion")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear LR warmup steps (adam)")
+    ap.add_argument("--bs", type=int, default=16)
     args = ap.parse_args()
-    main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm)
+    main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm,
+         lr=args.lr, warmup=args.warmup, bs=args.bs)

@@ -87,6 +87,28 @@ def test_eps_decay():
     assert steps_lib.decay_adadelta_eps(st_a, 0.5) == st_a
 
 
+def test_adam_warmup_schedule():
+    """warmup_steps>0 linearly ramps the adam LR: the first update is
+    ~1/warmup the size of the post-warmup update for identical grads."""
+    params = {"w": jnp.zeros((4,))}
+    g = {"w": jnp.ones((4,))}
+
+    def nth_update_norm(tcfg, n):
+        opt = steps_lib.create_optimizer(tcfg)
+        st = opt.init(params)
+        for _ in range(n):
+            upd, st = opt.update(g, st, params)
+        return float(jnp.linalg.norm(upd["w"]))
+
+    warm = TrainConfig(optimizer="adam", learning_rate=1e-3, warmup_steps=10)
+    flat = TrainConfig(optimizer="adam", learning_rate=1e-3)
+    # step 1 under warmup is ~10x smaller than without
+    assert nth_update_norm(warm, 1) < 0.2 * nth_update_norm(flat, 1)
+    # by the end of warmup the step size matches the flat schedule
+    assert nth_update_norm(warm, 12) == pytest.approx(
+        nth_update_norm(flat, 12), rel=0.05)
+
+
 @pytest.mark.parametrize("mode", ["asr", "gan", "joint"])
 def test_train_loop_smoke(tmp_path, mode):
     tcfg = TrainConfig(
