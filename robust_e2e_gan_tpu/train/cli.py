@@ -135,6 +135,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=("adadelta", "adam"),
                    default="adadelta")
     p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear LR warmup steps (adam only; 0 = constant). "
+                        "Needed for >10M-param configs — a cold 1e-3 adam "
+                        "step destabilizes the deep BLSTM stacks")
     p.add_argument("--grad-clip", type=float, default=5.0)
     p.add_argument("--eps-decay", type=float, default=0.01)
     p.add_argument("--batch-size", type=int, default=16)
@@ -201,6 +205,7 @@ def configs_from_args(args, vocab_size: int):
     )
     tcfg = TrainConfig(
         optimizer=args.optimizer, learning_rate=args.lr,
+        warmup_steps=args.warmup_steps,
         grad_clip=args.grad_clip, eps_decay=args.eps_decay,
         batch_size=args.batch_size, num_epochs=args.epochs,
         seed=args.seed, max_label_len=args.max_label_len,
@@ -354,6 +359,7 @@ def _lm_main(args) -> None:
     )
     tcfg = TrainConfig(
         optimizer=args.optimizer, learning_rate=args.lr,
+        warmup_steps=args.warmup_steps,
         grad_clip=args.grad_clip, batch_size=args.batch_size,
         num_epochs=args.epochs, seed=args.seed,
         max_label_len=args.max_label_len, checkpoint_dir=args.ckpt_dir,

@@ -123,12 +123,14 @@ def decode_wer(model, jcfg, params, eval_b, use_enhancer,
                    jnp.asarray(eval_b["wav_lengths"]))
     hyps = [[int(x) for x in row if x != -1] for row in np.asarray(res.tokens)]
     refs = labels_to_list(eval_b["labels"])
+    word_stats = wer_details(
+        [split_words(r, SCFG.space_id) for r in refs],
+        [split_words(h, SCFG.space_id) for h in hyps],
+    )
     return {
         "ter": wer_details(refs, hyps)["error_rate"],
-        "wer": wer_details(
-            [split_words(r, SCFG.space_id) for r in refs],
-            [split_words(h, SCFG.space_id) for h in hyps],
-        )["error_rate"],
+        "wer": word_stats["error_rate"],
+        "ref_words": int(word_stats["ref_tokens"]),
     }
 
 
@@ -157,9 +159,10 @@ def train_char_lm(rng, steps=600, bs=64):
 
 
 def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
-         lr=1e-3, warmup=0, bs=16):
+         lr=1e-3, warmup=0, bs=16, eval_utts=64):
     print(f"backend: {jax.default_backend()} scale={scale} "
-          f"lr={lr} warmup={warmup} bs={bs}", flush=True)
+          f"lr={lr} warmup={warmup} bs={bs} eval_utts={eval_utts}",
+          flush=True)
     tcfg = dataclasses.replace(TCFG, learning_rate=lr, warmup_steps=warmup,
                                batch_size=bs)
     jcfg = jcfg_for(scale)
@@ -182,7 +185,7 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     print(f"[asr] final acc={float(m['acc']):.3f}", flush=True)
 
     eval_rng = np.random.default_rng(999)
-    eval_b = make_batch(64, SCFG, eval_rng, pad_to_samples=PAD_TO,
+    eval_b = make_batch(eval_utts, SCFG, eval_rng, pad_to_samples=PAD_TO,
                         ignore_id=-1)
     wer_noisy_raw = decode_wer(model, jcfg, state.params_g, eval_b,
                                use_enhancer=False)
@@ -252,6 +255,8 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
         "steps": {"asr_pretrain": steps_a, "joint": steps_c},
         "recipe": {"optimizer": "adam", "lr": lr, "warmup_steps": warmup,
                    "batch_size": bs},
+        "eval_set": {"utterances": int(eval_b["labels"].shape[0]),
+                     "ref_words": wer_joint.get("ref_words")},
         "snr_range_db": list(SCFG.snr_range_db),
         "reverb_t60": SCFG.reverb_t60,
         "babble_streams": SCFG.babble_streams,
@@ -284,6 +289,10 @@ if __name__ == "__main__":
     ap.add_argument("--warmup", type=int, default=0,
                     help="linear LR warmup steps (adam)")
     ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--eval-utts", type=int, default=64,
+                    help="eval-set size (utterances); larger tightens the "
+                         "WER confidence interval")
     args = ap.parse_args()
     main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm,
-         lr=args.lr, warmup=args.warmup, bs=args.bs)
+         lr=args.lr, warmup=args.warmup, bs=args.bs,
+         eval_utts=args.eval_utts)

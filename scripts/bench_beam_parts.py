@@ -95,6 +95,16 @@ def main():
                                            use_enhancer=True)
     full_ms = _timed(lambda: searcher(params, wav, lens).lengths)
 
+    # ---- encode stage alone (enhancer + frontend + encoder + CTC head) —
+    # the full search includes it; without this row ~18 ms of the search
+    # showed up as "unaccounted" (round-4 first cut of this breakdown).
+    encode = jax.jit(
+        lambda p, w, l: model.apply(
+            {"params": p}, w, l, True, method=RobustE2E.encode_for_decode
+        )[0]
+    )
+    enc_ms = _timed(lambda: encode(params, wav, lens))
+
     # ---- decoder-step-only scan (attention + LSTM + logits, no CTC)
     @jax.jit
     def dec_only(params, hs, enc_proj, hmask):
@@ -147,15 +157,65 @@ def main():
 
     state_ms = _timed(lambda: state_only(lpz, last_tok, lengths, r_n, r_b))
 
+    # ---- prune + reorder, 48 dependent iterations: combine joint scores,
+    # flattened (K*V) top-k, then every gather the real loop performs on
+    # selection — token buffer, CTC forward variables, and the decoder
+    # carry (attention weights (BK, T) + two LSTM states (BK, H)).
+    H = jcfg.e2e.decoder.hidden_dim
+    tok_buf = jnp.full((B, K, STEPS), -1, jnp.int32)
+    att_w = jnp.zeros((B * K, t), jnp.float32)
+    lstm_c = jnp.zeros((B * K, H), jnp.float32)
+    lstm_h = jnp.zeros((B * K, H), jnp.float32)
+    att_scores = jnp.zeros((B, K, v), jnp.float32)
+
+    @jax.jit
+    def prune_only(psi, att_scores, scores0, tok_buf, r_n, r_b,
+                   att_w, lstm_c, lstm_h):
+        def body(c, _):
+            scores, tokb, rn, rb, aw, lc, lh = c
+            total = (scores[..., None] + att_scores
+                     + 0.3 * psi)  # (B, K, V)
+            flat = total.reshape(B, K * v)
+            top_s, top_i = jax.lax.top_k(flat, K)
+            k_idx = (top_i // v).astype(jnp.int32)
+            tok = (top_i % v).astype(jnp.int32)
+            tokb = beam_lib._gather_beam(tokb, k_idx)
+            rn2 = beam_lib._gather_beam(rn, k_idx)
+            rb2 = beam_lib._gather_beam(rb, k_idx)
+            flat_idx = (
+                jnp.arange(B, dtype=jnp.int32)[:, None] * K + k_idx
+            ).reshape(-1)
+            aw = jnp.take(aw, flat_idx, axis=0)
+            lc = jnp.take(lc, flat_idx, axis=0)
+            lh = jnp.take(lh, flat_idx, axis=0)
+            # write the selected tokens into the buffer (as the real loop
+            # does), which also keeps tok live in the dependence chain
+            tokb = tokb.at[:, :, 0].set(tok)
+            return (top_s, tokb, rn2, rb2, aw, lc, lh), None
+
+        c, _ = jax.lax.scan(
+            body, (scores0, tok_buf, r_n, r_b, att_w, lstm_c, lstm_h),
+            None, length=STEPS,
+        )
+        return c[0]
+
+    scores0 = jnp.zeros((B, K), jnp.float32)
+    psi0 = jnp.zeros((B, K, v), jnp.float32)
+    prune_ms = _timed(lambda: prune_only(
+        psi0, att_scores, scores0, tok_buf, r_n, r_b,
+        att_w, lstm_c, lstm_h))
+
     out = {
         "shapes": {"B": B, "K": K, "T": int(t), "V": int(v),
                    "steps": STEPS},
         "full_search_ms": round(full_ms, 2),
+        "encode_stage_ms": round(enc_ms, 2),
         "decoder_chain_ms": round(dec_ms, 2),
         "psi_pass_ms": round(psi_ms, 2),
         "state_recompute_ms": round(state_ms, 2),
+        "prune_reorder_ms": round(prune_ms, 2),
         "unaccounted_ms": round(
-            full_ms - dec_ms - psi_ms - state_ms, 2
+            full_ms - enc_ms - dec_ms - psi_ms - state_ms - prune_ms, 2
         ),
     }
     print(json.dumps(out, indent=2))

@@ -42,7 +42,7 @@ def test_train_and_decode_cli(manifest, tmp_path):
         "--mode", "joint",
         "--train-manifest", manifest, "--dev-manifest", manifest,
         "--ckpt-dir", ckpt, "--epochs", "1", "--batch-size", "4",
-        "--optimizer", "adam", "--lr", "1e-3",
+        "--optimizer", "adam", "--lr", "1e-3", "--warmup-steps", "2",
         "--n-mels", "24", "--enc-layers", "1", "--enc-hidden", "32",
         "--enc-proj", "32", "--att-dim", "24", "--dec-hidden", "32",
         "--dec-embed", "16", "--enh-layers", "1", "--enh-hidden", "32",
@@ -50,6 +50,9 @@ def test_train_and_decode_cli(manifest, tmp_path):
         "--max-label-len", "8", "--log-every", "1",
     ])
     assert os.path.exists(os.path.join(ckpt, "config.json"))
+    with open(os.path.join(ckpt, "config.json")) as f:
+        saved = json.load(f)
+    assert saved["train"]["warmup_steps"] == 2  # CLI flag lands in config
     assert os.path.exists(os.path.join(ckpt, "tokenizer.json"))
     assert os.path.exists(os.path.join(ckpt, "joint_metrics.csv"))
 
