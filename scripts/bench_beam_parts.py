@@ -98,10 +98,12 @@ def main():
     # ---- encode stage alone (enhancer + frontend + encoder + CTC head) —
     # the full search includes it; without this row ~18 ms of the search
     # showed up as "unaccounted" (round-4 first cut of this breakdown).
+    # (reduce to a scalar on device: fetching the full (B,T,E) hs would add
+    # ~45 MB of tunnel transfer per timing iteration and dominate the row)
     encode = jax.jit(
         lambda p, w, l: model.apply(
             {"params": p}, w, l, True, method=RobustE2E.encode_for_decode
-        )[0]
+        )[0].sum()
     )
     enc_ms = _timed(lambda: encode(params, wav, lens))
 
@@ -153,7 +155,7 @@ def main():
             return (rn2, rb2), None
 
         c, _ = jax.lax.scan(body, (r_n, r_b), None, length=STEPS)
-        return c[0]
+        return c[0].sum()  # scalar fetch (full (B,K,T) is ~700 KB/iter)
 
     state_ms = _timed(lambda: state_only(lpz, last_tok, lengths, r_n, r_b))
 
@@ -205,6 +207,7 @@ def main():
         psi0, att_scores, scores0, tok_buf, r_n, r_b,
         att_w, lstm_c, lstm_h))
 
+    parts = enc_ms + dec_ms + psi_ms + state_ms + prune_ms
     out = {
         "shapes": {"B": B, "K": K, "T": int(t), "V": int(v),
                    "steps": STEPS},
@@ -214,9 +217,12 @@ def main():
         "psi_pass_ms": round(psi_ms, 2),
         "state_recompute_ms": round(state_ms, 2),
         "prune_reorder_ms": round(prune_ms, 2),
-        "unaccounted_ms": round(
-            full_ms - enc_ms - dec_ms - psi_ms - state_ms - prune_ms, 2
-        ),
+        "components_sum_ms": round(parts, 2),
+        # positive = the single search program runs the independent serial
+        # chains (decoder matmuls on MXU, psi frame-scan on VPU, gathers)
+        # concurrently — measured overlap, not measurement error. A
+        # negative value would mean cost the rows above do not explain.
+        "overlap_ms": round(parts - full_ms, 2),
     }
     print(json.dumps(out, indent=2))
     import os
