@@ -159,9 +159,11 @@ def train_char_lm(rng, steps=600, bs=64):
 
 
 def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
-         lr=1e-3, warmup=0, bs=16, eval_utts=64):
+         lr=1e-3, warmup=0, bs=16, eval_utts=64, ckpt_dir=None,
+         save_every=500):
     print(f"backend: {jax.default_backend()} scale={scale} "
-          f"lr={lr} warmup={warmup} bs={bs} eval_utts={eval_utts}",
+          f"lr={lr} warmup={warmup} bs={bs} eval_utts={eval_utts} "
+          f"ckpt_dir={ckpt_dir}",
           flush=True)
     tcfg = dataclasses.replace(TCFG, learning_rate=lr, warmup_steps=warmup,
                                batch_size=bs)
@@ -176,21 +178,79 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     sample = next(batches(rng, 1, bs=bs))
     state, opt_g, opt_d = init_train_state(model, disc, tcfg, sample, seed=0)
 
+    # ---- resume support (the long reference-scale runs ride a preemptible
+    # tunnel; a VM restart must cost at most `save_every` steps, not the
+    # whole run). Checkpoints go through the framework's own atomic
+    # best+latest writer; the per-stage WERs already measured are persisted
+    # in a sidecar partial JSON so finished stages never re-decode. The
+    # data stream stays bit-identical across resumes because skipped
+    # batches still consume the same np.random.Generator draws.
+    done_global = -1
+    partial = {}
+    partial_path = None
+    if ckpt_dir:
+        from robust_e2e_gan_tpu.utils.checkpoint import (
+            has_checkpoint, read_extra, restore_checkpoint, save_checkpoint,
+        )
+        import os as _o
+
+        partial_path = _o.path.join(ckpt_dir, "partial_results.json")
+        if has_checkpoint(ckpt_dir):
+            state, done_step = restore_checkpoint(ckpt_dir, state)
+            done_global = int(
+                read_extra(ckpt_dir).get("global_step", done_step)
+            )
+            if _o.path.exists(partial_path):
+                with open(partial_path) as f:
+                    partial = json.load(f)
+            print(f"[resume] restored global step {done_global}, "
+                  f"stages done: {sorted(partial)}", flush=True)
+
+    gstep = 0  # global step across stages a, b, c
+
+    def run_stage(tag, step_fn, n_steps, log_every, fmt):
+        """Run (or fast-forward) one training stage; returns last metrics."""
+        nonlocal state, gstep
+        m = None
+        for i, b in enumerate(batches(rng, n_steps, bs=bs)):
+            if gstep > done_global:
+                state, m = step_fn(state, b)
+                if i % log_every == 0:
+                    print(f"[{tag}] step {i} " + fmt(m), flush=True)
+                if ckpt_dir and (gstep + 1) % save_every == 0:
+                    save_checkpoint(ckpt_dir, state, gstep + 1, keep=1,
+                                    extra={"global_step": gstep})
+            gstep += 1
+        return m
+
+    def stage_eval(key, fn, label):
+        """Decode-and-score once per run; resumed runs reuse the record."""
+        if key in partial:
+            print(f"{label} (resumed): {partial[key]}", flush=True)
+            return partial[key]
+        out = fn()
+        print(f"{label}: {out}", flush=True)
+        partial[key] = out
+        if partial_path:
+            with open(partial_path, "w") as f:
+                json.dump(partial, f)
+        return out
+
     # ---- stage (a): clean-ASR pretrain
     step_a = make_asr_pretrain_step(model, opt_g, use_enhancer=False)
-    for i, b in enumerate(batches(rng, steps_a, bs=bs)):
-        state, m = step_a(state, b)
-        if i % 100 == 0:
-            print(f"[asr] step {i} acc={float(m['acc']):.3f}", flush=True)
-    print(f"[asr] final acc={float(m['acc']):.3f}", flush=True)
+    m = run_stage("asr", step_a, steps_a, 100,
+                  lambda m: f"acc={float(m['acc']):.3f}")
+    if m is not None:
+        print(f"[asr] final acc={float(m['acc']):.3f}", flush=True)
 
     eval_rng = np.random.default_rng(999)
     eval_b = make_batch(eval_utts, SCFG, eval_rng, pad_to_samples=PAD_TO,
                         ignore_id=-1)
-    wer_noisy_raw = decode_wer(model, jcfg, state.params_g, eval_b,
-                               use_enhancer=False)
-    print(f"noisy WER, no enhancement (baseline): {wer_noisy_raw}",
-          flush=True)
+    wer_noisy_raw = stage_eval(
+        "noisy_raw",
+        lambda: decode_wer(model, jcfg, state.params_g, eval_b,
+                           use_enhancer=False),
+        "noisy WER, no enhancement (baseline)")
 
     # ---- stage (b): GAN-only pretrain -> cascade baseline
     # (with_asr=False: the G objective has no ASR term, so ASR grads are
@@ -200,28 +260,26 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     # so it gets 2x the steps.
     step_b = make_joint_train_step(model, disc, jcfg_cascade, opt_g, opt_d,
                                    with_asr=False)
-    for i, b in enumerate(batches(rng, 2 * steps_c, bs=bs)):
-        state, m = step_b(state, b)
-        if i % 200 == 0:
-            print(f"[gan] step {i} d={float(m['loss_d']):.3f} "
-                  f"enh={float(m['loss_enh']):.3f}", flush=True)
-    wer_cascade = decode_wer(model, jcfg, state.params_g, eval_b,
-                             use_enhancer=True)
-    print(f"noisy WER, cascade (separate enhancer + clean ASR): "
-          f"{wer_cascade}", flush=True)
+    run_stage("gan", step_b, 2 * steps_c, 200,
+              lambda m: (f"d={float(m['loss_d']):.3f} "
+                         f"enh={float(m['loss_enh']):.3f}"))
+    wer_cascade = stage_eval(
+        "cascade",
+        lambda: decode_wer(model, jcfg, state.params_g, eval_b,
+                           use_enhancer=True),
+        "noisy WER, cascade (separate enhancer + clean ASR)")
 
     # ---- stage (c): joint adversarial fine-tune from (a)+(b)
     step_c = make_joint_train_step(model, disc, jcfg, opt_g, opt_d,
                                    with_asr=True)
-    for i, b in enumerate(batches(rng, steps_c, bs=bs)):
-        state, m = step_c(state, b)
-        if i % 100 == 0:
-            print(f"[joint] step {i} acc={float(m['acc']):.3f} "
-                  f"d={float(m['loss_d']):.3f}", flush=True)
-    wer_joint = decode_wer(model, jcfg, state.params_g, eval_b,
-                           use_enhancer=True)
-    print(f"noisy WER, joint adversarial enhancement: {wer_joint}",
-          flush=True)
+    run_stage("joint", step_c, steps_c, 100,
+              lambda m: (f"acc={float(m['acc']):.3f} "
+                         f"d={float(m['loss_d']):.3f}"))
+    wer_joint = stage_eval(
+        "joint",
+        lambda: decode_wer(model, jcfg, state.params_g, eval_b,
+                           use_enhancer=True),
+        "noisy WER, joint adversarial enhancement")
 
     wer_joint_lm, lm_ppl = None, None
     if with_lm:
@@ -292,7 +350,14 @@ if __name__ == "__main__":
     ap.add_argument("--eval-utts", type=int, default=64,
                     help="eval-set size (utterances); larger tightens the "
                          "WER confidence interval")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint/resume directory: periodic atomic "
+                         "saves + per-stage WER records, so a preempted "
+                         "run restarts where it left off")
+    ap.add_argument("--save-every", type=int, default=500,
+                    help="checkpoint period in train steps (with --ckpt-dir)")
     args = ap.parse_args()
     main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm,
          lr=args.lr, warmup=args.warmup, bs=args.bs,
-         eval_utts=args.eval_utts)
+         eval_utts=args.eval_utts, ckpt_dir=args.ckpt_dir,
+         save_every=args.save_every)
