@@ -443,9 +443,19 @@ class BucketBatcher:
         seed: int = 0,
         drop_overlong: bool = True,
         speaker_cmvn=None,
+        pad_final: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
+        # pad_final: fill a ragged final batch up to batch_size by
+        # repeating its last utterance. utt_ids keeps only the real
+        # utterances, and every consumer (decode/enhance/score loops)
+        # iterates utt_ids, so the duplicate rows are computed and
+        # discarded. Serving wants this on: a ragged batch both triggers
+        # a fresh XLA compile and can land on a pathologically slow tile
+        # shape (on-chip fine sweep: B=112 costs 101.5 ms vs 61.6 at
+        # B=128 — results/r4_hw/bench_batch_sweep_fine2.log).
+        self.pad_final = pad_final
         self.buckets = sorted(length_buckets)
         self.max_label_len = max_label_len
         self.ignore_id = ignore_id
@@ -472,6 +482,9 @@ class BucketBatcher:
         return len(self.batches)
 
     def _collate(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        n_real = len(idxs)
+        if self.pad_final and n_real < self.batch_size:
+            idxs = list(idxs) + [idxs[-1]] * (self.batch_size - n_real)
         utts = [self.ds.utts[i] for i in idxs]
         pad_to = _bucket_for(
             max(u.n_samples for u in utts), self.buckets
@@ -529,7 +542,7 @@ class BucketBatcher:
                 "feats": feats,
                 "feat_lengths": flens,
                 "labels": labels,
-                "utt_ids": ids,
+                "utt_ids": ids[:n_real],
             }
             if all(u.clean_feats_ark is not None for u in utts):
                 batch["clean_feats"], _ = load_batch(
@@ -576,7 +589,7 @@ class BucketBatcher:
             "clean_wav": clean,
             "wav_lengths": lengths,
             "labels": labels,
-            "utt_ids": ids,
+            "utt_ids": ids[:n_real],
         }
         if self.speaker_cmvn is not None:
             mean, inv_std = self.speaker_cmvn.lookup(ids)

@@ -264,8 +264,11 @@ def _main(argv: Optional[list] = None) -> None:
 
         cmvn_ark = args.cmvn_ark or os.path.join(args.ckpt_dir, "cmvn.ark")
         speaker_cmvn = SpeakerCmvn.load(cmvn_ark, args.utt2spk)
+    # pad_final: serving keeps one static batch shape end to end — a
+    # ragged last batch would recompile AND can land on a pathological
+    # tile shape (B=112 measured 1.6x slower than B=128 on chip)
     batcher = BucketBatcher(ds, args.batch_size, buckets,
-                            speaker_cmvn=speaker_cmvn)
+                            speaker_cmvn=speaker_cmvn, pad_final=True)
 
     prefix_impl = {"auto": "auto", "fused": "tiled",
                    "xla": "twopass"}[args.serving_impls]

@@ -96,7 +96,7 @@ def _main(argv: Optional[list] = None) -> None:
     else:
         raise SystemExit("need --manifest or --noisy-scp/--text")
     buckets = tuple(int(x) for x in args.length_buckets.split(",") if x)
-    batcher = BucketBatcher(ds, args.batch_size, buckets)
+    batcher = BucketBatcher(ds, args.batch_size, buckets, pad_final=True)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     ark, scp = args.out + ".ark", args.out + ".scp"

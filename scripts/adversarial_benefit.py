@@ -104,11 +104,17 @@ TCFG = TrainConfig(optimizer="adam", learning_rate=1e-3)
 PAD_TO = SCFG.max_samples
 
 
-def batches(rng, n, bs=16):
-    for _ in range(n):
-        yield {k: jnp.asarray(v) for k, v in
-               make_batch(bs, SCFG, rng, pad_to_samples=PAD_TO,
-                          ignore_id=-1).items()}
+def batches(rng, n, bs=16, skip_first=0):
+    """Synthetic batch stream. The first ``skip_first`` batches are
+    synthesized (the rng stream must advance bit-identically on resume)
+    but yielded as None without the device transfer — over the remote
+    tunnel the per-batch jnp.asarray costs more than the synthesis."""
+    for i in range(n):
+        b = make_batch(bs, SCFG, rng, pad_to_samples=PAD_TO, ignore_id=-1)
+        if i < skip_first:
+            yield None
+        else:
+            yield {k: jnp.asarray(v) for k, v in b.items()}
 
 
 def decode_wer(model, jcfg, params, eval_b, use_enhancer,
@@ -160,7 +166,7 @@ def train_char_lm(rng, steps=600, bs=64):
 
 def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
          lr=1e-3, warmup=0, bs=16, eval_utts=64, ckpt_dir=None,
-         save_every=500):
+         save_every=500, out=None):
     print(f"backend: {jax.default_backend()} scale={scale} "
           f"lr={lr} warmup={warmup} bs={bs} eval_utts={eval_utts} "
           f"ckpt_dir={ckpt_dir}",
@@ -212,8 +218,10 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
         """Run (or fast-forward) one training stage; returns last metrics."""
         nonlocal state, gstep
         m = None
-        for i, b in enumerate(batches(rng, n_steps, bs=bs)):
-            if gstep > done_global:
+        skip = min(max(done_global + 1 - gstep, 0), n_steps)
+        for i, b in enumerate(batches(rng, n_steps, bs=bs,
+                                      skip_first=skip)):
+            if b is not None:
                 state, m = step_fn(state, b)
                 if i % log_every == 0:
                     print(f"[{tag}] step {i} " + fmt(m), flush=True)
@@ -326,9 +334,12 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     print(json.dumps(summary))
     import os
     os.makedirs("results", exist_ok=True)
-    out_name = ("results/adversarial_benefit.json" if scale == "toy"
-                else f"results/adversarial_benefit_{scale}.json")
-    with open(out_name, "w") as f:
+    if out is None:
+        # default artifact names are the RECORDED results — smoke-test
+        # invocations must pass --out to avoid clobbering them
+        out = ("results/adversarial_benefit.json" if scale == "toy"
+               else f"results/adversarial_benefit_{scale}.json")
+    with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     assert wer_joint["wer"] < wer_noisy_raw["wer"], summary
     print("ADVERSARIAL BENEFIT CONFIRMED")
@@ -356,8 +367,11 @@ if __name__ == "__main__":
                          "run restarts where it left off")
     ap.add_argument("--save-every", type=int, default=500,
                     help="checkpoint period in train steps (with --ckpt-dir)")
+    ap.add_argument("--out", default=None,
+                    help="summary JSON path (default: the recorded "
+                         "results/adversarial_benefit*.json artifact)")
     args = ap.parse_args()
     main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm,
          lr=args.lr, warmup=args.warmup, bs=args.bs,
          eval_utts=args.eval_utts, ckpt_dir=args.ckpt_dir,
-         save_every=args.save_every)
+         save_every=args.save_every, out=args.out)

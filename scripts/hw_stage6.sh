@@ -24,7 +24,7 @@ run_job() {
 }
 
 echo "[stage6] starting $(date -u)" >> results/r4_hw/watch.log
-run_job adv_benefit_ref4 5400 python -u scripts/adversarial_benefit.py \
-  5000 2000 --scale reference --lm --lr 3e-4 --warmup 600 --bs 32 \
+run_job adv_benefit_ref4 4800 python -u scripts/adversarial_benefit.py \
+  3600 1200 --scale reference --lm --lr 3e-4 --warmup 600 --bs 32 \
   --eval-utts 192 --ckpt-dir exp/ab_ref_ckpt --save-every 400
 echo "[stage6] ALL STAGE6 JOBS DONE $(date -u)" >> results/r4_hw/watch.log

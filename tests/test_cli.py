@@ -56,10 +56,13 @@ def test_train_and_decode_cli(manifest, tmp_path):
     assert os.path.exists(os.path.join(ckpt, "tokenizer.json"))
     assert os.path.exists(os.path.join(ckpt, "joint_metrics.csv"))
 
+    # batch 3 over 8 utts: the ragged final batch (2 utts) exercises
+    # pad_final — it must decode at the static batch shape yet report
+    # exactly the 8 real utterances once each
     out = str(tmp_path / "dec")
     decode_cli.main([
         "--manifest", manifest, "--ckpt-dir", ckpt, "--out", out,
-        "--batch-size", "4", "--beam-size", "3", "--max-steps", "6",
+        "--batch-size", "3", "--beam-size", "3", "--max-steps", "6",
         "--length-buckets", "16000",
     ])
     with open(os.path.join(out, "wer.json")) as f:
@@ -68,6 +71,7 @@ def test_train_and_decode_cli(manifest, tmp_path):
     assert report["decoder"] == "beam3"
     hyp = open(os.path.join(out, "hyp.txt")).read().strip().splitlines()
     assert len(hyp) == 8 and all(line.split()[0].startswith("u") for line in hyp)
+    assert len({line.split()[0] for line in hyp}) == 8  # no pad duplicates
 
     # greedy path too
     out2 = str(tmp_path / "dec_greedy")

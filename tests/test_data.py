@@ -100,6 +100,35 @@ def test_bucket_batcher(tmp_path, rng):
     assert seen == {f"utt{i}" for i in range(7)}
 
 
+def test_bucket_batcher_pad_final(tmp_path, rng):
+    """pad_final fills the ragged last batch to the static batch size by
+    repeating its final utterance; utt_ids keeps only the real rows (so
+    every utt_ids-driven consumer silently drops the duplicates)."""
+    mf = _write_manifest(tmp_path, rng)  # 7 utts
+    ds = AudioTextDataset.from_jsonl(mf)
+    batcher = BucketBatcher(
+        ds, batch_size=3, length_buckets=(9000,), max_label_len=20,
+        pad_final=True,
+    )
+    batches = list(batcher.epoch(shuffle=False))
+    # every batch has the full static row count
+    assert all(b["noisy_wav"].shape[0] == 3 for b in batches)
+    assert all(b["labels"].shape[0] == 3 for b in batches)
+    # real utterances exactly once across utt_ids
+    all_ids = [u for b in batches for u in b["utt_ids"]]
+    assert sorted(all_ids) == sorted(f"utt{i}" for i in range(7))
+    # the 7th utt's batch: rows beyond n_real are copies of the last real
+    ragged = [b for b in batches if len(b["utt_ids"]) == 1]
+    assert len(ragged) == 1
+    rb = ragged[0]
+    np.testing.assert_array_equal(rb["noisy_wav"][1], rb["noisy_wav"][0])
+    np.testing.assert_array_equal(rb["labels"][2], rb["labels"][0])
+    assert rb["wav_lengths"][1] == rb["wav_lengths"][0]
+    # default (pad_final=False) keeps ragged batches
+    b2 = BucketBatcher(ds, batch_size=3, length_buckets=(9000,))
+    assert list(b2.epoch(shuffle=False))[-1]["noisy_wav"].shape[0] == 1
+
+
 def test_kaldi_dataset(tmp_path, rng):
     # waveforms as Kaldi float vectors + text file
     entries = {}
