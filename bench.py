@@ -80,6 +80,70 @@ def _swept_batch_default(fallback: int) -> int:
         return fallback
 
 
+def _production_row():
+    """Production-representative serving row (round-4 VERDICT weak #5).
+
+    The headline above deliberately benches UNTRAINED weights with
+    early-exit disabled (full 48-step search, comparable across rounds).
+    Production decodes a TRAINED model with the token-exact early exit +
+    streaming end-detect enabled; when the reference-scale trained
+    checkpoint from the paper-claim run (exp/ab_ref_ckpt, 36M params)
+    exists, bench that too. Best-effort: absent checkpoint or a compile
+    failure returns None and the headline stands alone.
+    """
+    import dataclasses
+    import os
+
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "exp", "ab_ref_ckpt")
+    try:
+        from flax import serialization
+
+        from robust_e2e_gan_tpu.utils.checkpoint import _read_meta
+        from scripts.adversarial_benefit import PAD_TO, SCFG, jcfg_for
+
+        entry = _read_meta(ckpt_dir).get("latest")
+        if not entry:
+            return None
+        path = os.path.join(ckpt_dir, entry["path"])
+        if not os.path.exists(path):
+            return None
+        # raw msgpack -> params_g subtree (no optimizer templates needed)
+        with open(path, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        params = tree["params_g"]
+
+        jcfg = jcfg_for("reference")
+        model = build_model(jcfg)
+        bcfg = BeamSearchConfig(
+            beam_size=8, ctc_weight=0.3, max_steps=48,
+            early_exit=True, end_detect=True,
+        )
+        searcher = make_beam_searcher(model, jcfg.e2e, bcfg,
+                                      use_enhancer=True)
+        rng = np.random.default_rng(0)
+        B = 128
+        batch = make_batch(B, SCFG, rng, pad_to_samples=PAD_TO,
+                           ignore_id=-1)
+        wav = jnp.asarray(batch["noisy_wav"])
+        lens = jnp.asarray(batch["wav_lengths"])
+        iters, dt = _timed(lambda: searcher(params, wav, lens).lengths,
+                           min_seconds=3.0, chunk=4)
+        return {
+            "model": "reference-scale 36M, trained (exp/ab_ref_ckpt)",
+            "early_exit": True,
+            "end_detect": True,
+            "batch": B,
+            "utt_per_s": round(B * iters / dt, 2),
+            "ckpt_step": int(entry["step"]),
+        }
+    except Exception as e:  # absent ckpt / compile failure: headline stands
+        import sys
+
+        print(f"production row skipped: {str(e)[:160]}", file=sys.stderr)
+        return None
+
+
 def main():
     import dataclasses
 
@@ -177,21 +241,89 @@ def main():
             )
             iters, dt = _timed(lambda: searcher(params, wav, lens).lengths)
     utt_s = B * iters / dt
+    seq_utt_s = utt_s
+
+    # --- cross-batch staged schedule (round-5): batch i's beam loop and
+    # batch i+1's enhancer+encoder in one program. Measured on the same
+    # data; the faster schedule becomes the headline value, both reported.
+    pipe_utt_s = None
+    try:
+        from robust_e2e_gan_tpu.decode.beam import (
+            make_pipelined_beam_searcher,
+        )
+
+        pipe = make_pipelined_beam_searcher(model, jcfg.e2e, bcfg,
+                                            use_enhancer=True)
+        stream = [(wav, lens)] * 16
+
+        def run_stream():
+            out = None
+            for r in pipe(params, stream):
+                out = r.lengths
+            return out
+
+        np.asarray(run_stream())  # compile + warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_stream())
+            dt_p = time.perf_counter() - t0
+            best = dt_p if best is None else min(best, dt_p)
+        pipe_utt_s = B * len(stream) / best
+        utt_s = max(utt_s, pipe_utt_s)
+    except Exception as e:
+        import sys
+
+        print(f"pipelined schedule skipped ({str(e)[:120]})",
+              file=sys.stderr)
 
     # --- reference-style batch=1 loop (host-driven per-utterance decode) ---
+    # Round-4 VERDICT weak #1: 8 RTT-dominated iterations made vs_baseline
+    # swing 45% run to run. Now: >=64 iterations, per-iteration wall times,
+    # MEDIAN statistic (robust to tunnel stragglers), and the tunnel's
+    # host-sync round-trip — which the reference's local-GPU loop would not
+    # pay — measured separately and subtracted for the corrected ratio.
     np.asarray(searcher(params, wav[:1], lens[:1]).lengths)  # compile B=1
-    n1 = 8
-    t0 = time.perf_counter()
+    tiny = jnp.zeros((1,), jnp.int32) + 1
+    np.asarray(tiny)
+    rtts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        np.asarray(tiny + 1)  # trivial dispatch+fetch == pure tunnel RTT
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    n1 = 64
+    iter_t = []
     for i in range(n1):
-        np.asarray(searcher(params, wav[i : i + 1], lens[i : i + 1]).lengths)
-    utt_s_base = n1 / (time.perf_counter() - t0)
+        j = i % B
+        t0 = time.perf_counter()
+        np.asarray(searcher(params, wav[j : j + 1], lens[j : j + 1]).lengths)
+        iter_t.append(time.perf_counter() - t0)
+    med = float(np.median(iter_t))
+    utt_s_base_raw = 1.0 / med
+    utt_s_base = 1.0 / max(med - rtt, 1e-6)
 
-    print(json.dumps({
+    row = {
         "metric": "enhanced+decoded utterances/sec/chip",
         "value": round(utt_s, 2),
         "unit": "utt/s",
+        # corrected ratio (tunnel RTT subtracted from the batch=1 loop):
+        # the conservative, reproducible number — raw kept for comparison
+        # with rounds 1-4.
         "vs_baseline": round(utt_s / utt_s_base, 2),
-    }))
+        "vs_baseline_raw": round(utt_s / utt_s_base_raw, 2),
+        "batch1_median_ms": round(1e3 * med, 2),
+        "tunnel_rtt_ms": round(1e3 * rtt, 2),
+        "sequential_utt_s": round(seq_utt_s, 2),
+    }
+    if pipe_utt_s is not None:
+        row["pipelined_utt_s"] = round(pipe_utt_s, 2)
+        row["schedule"] = ("pipelined" if pipe_utt_s > seq_utt_s
+                           else "sequential")
+    prod = _production_row()
+    if prod is not None:
+        row["production"] = prod
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

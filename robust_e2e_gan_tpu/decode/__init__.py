@@ -3,6 +3,7 @@ from robust_e2e_gan_tpu.decode.beam import (
     batched_prefix_scores,
     beam_search_from_encoder,
     make_beam_searcher,
+    make_pipelined_beam_searcher,
 )
 from robust_e2e_gan_tpu.decode.ctc_prefix import CTCPrefixScore
 from robust_e2e_gan_tpu.decode.host_reference import recognize_beam_host
@@ -12,6 +13,7 @@ __all__ = [
     "batched_prefix_scores",
     "beam_search_from_encoder",
     "make_beam_searcher",
+    "make_pipelined_beam_searcher",
     "CTCPrefixScore",
     "recognize_beam_host",
 ]

@@ -24,7 +24,9 @@ import json
 import sys
 from typing import Dict, Tuple
 
-from robust_e2e_gan_tpu.ops.editdistance import score_texts, wer_details
+from robust_e2e_gan_tpu.ops.editdistance import (
+    bootstrap_wer_ci, score_texts, wer_details,
+)
 
 
 def read_trn(path: str) -> Dict[str, str]:
@@ -45,7 +47,7 @@ def read_trn(path: str) -> Dict[str, str]:
 
 def score_files(
     ref_path: str, hyp_path: str, strict: bool = False,
-    per_utt: bool = False,
+    per_utt: bool = False, bootstrap: int = 0,
 ) -> Tuple[dict, list]:
     refs = read_trn(ref_path)
     hyps = read_trn(hyp_path)
@@ -62,6 +64,23 @@ def score_files(
     ref_texts = [refs[k] for k in common]
     hyp_texts = [hyps[k] for k in common]
     report = score_texts(ref_texts, hyp_texts)
+    if bootstrap > 0:
+        report["wer"].update({
+            k: v for k, v in bootstrap_wer_ci(
+                [t.split() for t in ref_texts],
+                [t.split() for t in hyp_texts],
+                n_resamples=bootstrap,
+            ).items() if k.startswith("ci") or k in
+            ("confidence", "n_resamples")
+        })
+        report["cer"].update({
+            k: v for k, v in bootstrap_wer_ci(
+                [list("".join(t.split())) for t in ref_texts],
+                [list("".join(t.split())) for t in hyp_texts],
+                n_resamples=bootstrap,
+            ).items() if k.startswith("ci") or k in
+            ("confidence", "n_resamples")
+        })
     report["n_utts"] = len(common)
     report["n_missing_hyp"] = len(missing)
     report["n_extra_hyp"] = len(extra)
@@ -89,10 +108,14 @@ def main(argv=None) -> None:
                    help="include per-utterance WER rows in the report")
     p.add_argument("--strict", action="store_true",
                    help="fail on ref/hyp utterance-set mismatch")
+    p.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                   help="add a 95%% percentile-bootstrap CI on WER/CER "
+                        "from N utterance resamples (e.g. 1000)")
     args = p.parse_args(argv)
 
     report, per_utt = score_files(
-        args.ref, args.hyp, args.strict, per_utt=args.per_utt
+        args.ref, args.hyp, args.strict, per_utt=args.per_utt,
+        bootstrap=args.bootstrap,
     )
     if args.per_utt:
         report["per_utt"] = per_utt
@@ -104,6 +127,10 @@ def main(argv=None) -> None:
         f"{int(w['del'])} del, {int(w['ins'])} ins ] "
         f"({report['n_utts']} utts)"
     )
+    if "ci_low" in w:
+        print(f"  95% CI [{100 * w['ci_low']:.2f}, "
+              f"{100 * w['ci_high']:.2f}] "
+              f"({w['n_resamples']} bootstrap resamples)")
     print(f"%CER {100 * report['cer']['error_rate']:.2f}")
     if report["n_missing_hyp"] or report["n_extra_hyp"]:
         print(

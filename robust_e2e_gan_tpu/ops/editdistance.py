@@ -67,6 +67,45 @@ def wer_details(
     }
 
 
+def bootstrap_wer_ci(
+    refs: List[Sequence],
+    hyps: List[Sequence],
+    n_resamples: int = 1000,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Percentile-bootstrap confidence interval on the corpus error rate.
+
+    The reference's Kaldi/sclite workflow reports only point WER; small
+    eval sets (e.g. the synthetic paper-claim runs at a few hundred words)
+    need an interval before two systems can honestly be ordered. Utterances
+    are resampled with replacement (the standard unit for ASR bootstrap,
+    Bisani & Ney 2004); per-utterance edit distances are computed once, so
+    resampling is O(n_utts) per replicate.
+    """
+    if len(refs) != len(hyps):
+        raise ValueError("refs and hyps must have equal length")
+    import numpy as np
+
+    errs = np.array(
+        [edit_distance(r, h) for r, h in zip(refs, hyps)], dtype=np.float64
+    )
+    lens = np.array([len(r) for r in refs], dtype=np.float64)
+    n = len(refs)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_resamples, n))
+    rates = errs[idx].sum(axis=1) / np.maximum(lens[idx].sum(axis=1), 1.0)
+    lo, hi = np.quantile(rates, [alpha / 2, 1 - alpha / 2])
+    return {
+        "error_rate": float(errs.sum() / max(lens.sum(), 1.0)),
+        "ci_low": float(lo),
+        "ci_high": float(hi),
+        "confidence": 1.0 - alpha,
+        "n_resamples": int(n_resamples),
+        "n_utts": int(n),
+    }
+
+
 def score_texts(
     ref_texts: List[str], hyp_texts: List[str]
 ) -> Dict[str, Dict[str, float]]:

@@ -42,7 +42,7 @@ from robust_e2e_gan_tpu.data.synthetic import (
 )
 from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
-from robust_e2e_gan_tpu.ops.editdistance import wer_details
+from robust_e2e_gan_tpu.ops.editdistance import bootstrap_wer_ci, wer_details
 from robust_e2e_gan_tpu.pipeline import RobustE2E
 from robust_e2e_gan_tpu.train.steps import (
     init_train_state, make_asr_pretrain_step, make_joint_train_step,
@@ -129,18 +129,21 @@ def decode_wer(model, jcfg, params, eval_b, use_enhancer,
                    jnp.asarray(eval_b["wav_lengths"]))
     hyps = [[int(x) for x in row if x != -1] for row in np.asarray(res.tokens)]
     refs = labels_to_list(eval_b["labels"])
-    word_stats = wer_details(
-        [split_words(r, SCFG.space_id) for r in refs],
-        [split_words(h, SCFG.space_id) for h in hyps],
-    )
+    ref_w = [split_words(r, SCFG.space_id) for r in refs]
+    hyp_w = [split_words(h, SCFG.space_id) for h in hyps]
+    word_stats = wer_details(ref_w, hyp_w)
+    ci = bootstrap_wer_ci(ref_w, hyp_w, n_resamples=1000)
     return {
         "ter": wer_details(refs, hyps)["error_rate"],
         "wer": word_stats["error_rate"],
         "ref_words": int(word_stats["ref_tokens"]),
+        # 95% utterance-resampled bootstrap CI on the word WER — the eval
+        # sets are small (64-192 utts), so ordering claims need intervals
+        "wer_ci95": [round(ci["ci_low"], 4), round(ci["ci_high"], 4)],
     }
 
 
-def train_char_lm(rng, steps=600, bs=64):
+def train_char_lm(rng, steps=600, bs=64, seed=0):
     """Char RNNLM on the task's transcript distribution (shallow fusion)."""
     from robust_e2e_gan_tpu.data.synthetic import sample_transcript
     from robust_e2e_gan_tpu.models.lm import LMConfig, RNNLM
@@ -148,7 +151,7 @@ def train_char_lm(rng, steps=600, bs=64):
 
     lmc = LMConfig(vocab_size=VOCAB, embed_dim=64, hidden_dim=256)
     lm = RNNLM(lmc)
-    state, opt = init_lm_state(lm, TCFG, seed=0)
+    state, opt = init_lm_state(lm, TCFG, seed=seed)
     step = make_lm_train_step(lm, opt)
 
     def labels_batch():
@@ -166,13 +169,13 @@ def train_char_lm(rng, steps=600, bs=64):
 
 def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
          lr=1e-3, warmup=0, bs=16, eval_utts=64, ckpt_dir=None,
-         save_every=500, out=None):
+         save_every=500, out=None, seed=0, optimizer="adam"):
     print(f"backend: {jax.default_backend()} scale={scale} "
           f"lr={lr} warmup={warmup} bs={bs} eval_utts={eval_utts} "
-          f"ckpt_dir={ckpt_dir}",
+          f"ckpt_dir={ckpt_dir} seed={seed} optimizer={optimizer}",
           flush=True)
-    tcfg = dataclasses.replace(TCFG, learning_rate=lr, warmup_steps=warmup,
-                               batch_size=bs)
+    tcfg = dataclasses.replace(TCFG, optimizer=optimizer, learning_rate=lr,
+                               warmup_steps=warmup, batch_size=bs)
     jcfg = jcfg_for(scale)
     # Stage-(b) loss weights: a separately-trained enhancement frontend is
     # MSE-dominant (the adversarial term against a winning D only distorts
@@ -180,9 +183,16 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     jcfg_cascade = dataclasses.replace(jcfg, lambda_adv=0.1, mu_enh=10.0)
     model = RobustE2E(jcfg)
     disc = Discriminator(jcfg.discriminator)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     sample = next(batches(rng, 1, bs=bs))
-    state, opt_g, opt_d = init_train_state(model, disc, tcfg, sample, seed=0)
+    state, opt_g, opt_d = init_train_state(model, disc, tcfg, sample,
+                                           seed=seed)
+    # Fast-forward correctness on resume depends on every value that shapes
+    # the rng stream, stage boundaries, param tree, or eval-set identity;
+    # stored in the checkpoint `extra` and validated at restore.
+    run_args = {"bs": bs, "steps_a": steps_a, "steps_c": steps_c,
+                "scale": scale, "eval_utts": eval_utts, "lr": lr,
+                "warmup": warmup, "seed": seed, "optimizer": optimizer}
 
     # ---- resume support (the long reference-scale runs ride a preemptible
     # tunnel; a VM restart must cost at most `save_every` steps, not the
@@ -203,12 +213,35 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
         partial_path = _o.path.join(ckpt_dir, "partial_results.json")
         if has_checkpoint(ckpt_dir):
             state, done_step = restore_checkpoint(ckpt_dir, state)
-            done_global = int(
-                read_extra(ckpt_dir).get("global_step", done_step)
-            )
+            extra = read_extra(ckpt_dir)
+            # save() records step=gstep+1 ("steps done") with
+            # extra.global_step=gstep ("last completed index"); if extra
+            # were ever absent the fallback must use the same convention.
+            done_global = int(extra.get("global_step", done_step - 1))
+            saved_args = extra.get("run_args")
+            if saved_args is not None and saved_args != run_args:
+                diff = {k: (saved_args.get(k), run_args[k])
+                        for k in run_args if saved_args.get(k) != run_args[k]}
+                raise SystemExit(
+                    f"[resume] relaunch args differ from the checkpointed "
+                    f"run (ckpt vs now): {diff} — resuming would silently "
+                    f"fast-forward against a different data stream/stage "
+                    f"layout. Relaunch with the original args or use a "
+                    f"fresh --ckpt-dir.")
+            if saved_args is None:
+                print("[resume] WARNING: checkpoint predates run-arg "
+                      "recording; cannot validate relaunch args match",
+                      flush=True)
             if _o.path.exists(partial_path):
-                with open(partial_path) as f:
-                    partial = json.load(f)
+                try:
+                    with open(partial_path) as f:
+                        partial = json.load(f)
+                except (json.JSONDecodeError, ValueError):
+                    # a preemption mid-write of the pre-atomic era could
+                    # leave truncated JSON; treat as empty, re-decode
+                    print("[resume] WARNING: corrupt partial_results.json; "
+                          "ignoring (stages will re-decode)", flush=True)
+                    partial = {}
             print(f"[resume] restored global step {done_global}, "
                   f"stages done: {sorted(partial)}", flush=True)
 
@@ -227,7 +260,8 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
                     print(f"[{tag}] step {i} " + fmt(m), flush=True)
                 if ckpt_dir and (gstep + 1) % save_every == 0:
                     save_checkpoint(ckpt_dir, state, gstep + 1, keep=1,
-                                    extra={"global_step": gstep})
+                                    extra={"global_step": gstep,
+                                           "run_args": run_args})
             gstep += 1
         return m
 
@@ -240,8 +274,15 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
         print(f"{label}: {out}", flush=True)
         partial[key] = out
         if partial_path:
-            with open(partial_path, "w") as f:
+            # atomic (mkstemp + os.replace, same pattern as _save_hosted):
+            # a preemption mid-write must not corrupt the resume sidecar
+            import tempfile as _tf
+
+            fd, tmp = _tf.mkstemp(dir=_os.path.dirname(partial_path),
+                                  suffix=".tmp")
+            with _os.fdopen(fd, "w") as f:
                 json.dump(partial, f)
+            _os.replace(tmp, partial_path)
         return out
 
     # ---- stage (a): clean-ASR pretrain
@@ -251,6 +292,9 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     if m is not None:
         print(f"[asr] final acc={float(m['acc']):.3f}", flush=True)
 
+    # eval set is deliberately seed-INDEPENDENT (fixed rng 999): multi-seed
+    # replication varies init + train stream while scoring on the identical
+    # utterances, so across-seed WER spread measures training variance only
     eval_rng = np.random.default_rng(999)
     eval_b = make_batch(eval_utts, SCFG, eval_rng, pad_to_samples=PAD_TO,
                         ignore_id=-1)
@@ -291,7 +335,7 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
 
     wer_joint_lm, lm_ppl = None, None
     if with_lm:
-        lm, lm_params, lm_ppl = train_char_lm(rng)
+        lm, lm_params, lm_ppl = train_char_lm(rng, seed=seed)
         wer_joint_lm = decode_wer(model, jcfg, state.params_g, eval_b,
                                   use_enhancer=True, lm=lm,
                                   lm_params=lm_params, lm_weight=0.3)
@@ -319,8 +363,8 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
             1.0 - wer_joint["wer"] / max(wer_noisy_raw["wer"], 1e-9), 4
         ),
         "steps": {"asr_pretrain": steps_a, "joint": steps_c},
-        "recipe": {"optimizer": "adam", "lr": lr, "warmup_steps": warmup,
-                   "batch_size": bs},
+        "recipe": {"optimizer": optimizer, "lr": lr, "warmup_steps": warmup,
+                   "batch_size": bs, "seed": seed},
         "eval_set": {"utterances": int(eval_b["labels"].shape[0]),
                      "ref_words": wer_joint.get("ref_words")},
         "snr_range_db": list(SCFG.snr_range_db),
@@ -370,8 +414,17 @@ if __name__ == "__main__":
     ap.add_argument("--out", default=None,
                     help="summary JSON path (default: the recorded "
                          "results/adversarial_benefit*.json artifact)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seed for param init + train data stream (the "
+                         "eval set stays fixed so WERs compare across "
+                         "seeds)")
+    ap.add_argument("--optimizer", choices=("adam", "adadelta"),
+                    default="adam",
+                    help="adadelta = the reference's own recipe "
+                         "(SURVEY 2a: Adadelta, grad-clip, eps-decay)")
     args = ap.parse_args()
     main(args.steps_a, args.steps_c, scale=args.scale, with_lm=args.lm,
          lr=args.lr, warmup=args.warmup, bs=args.bs,
          eval_utts=args.eval_utts, ckpt_dir=args.ckpt_dir,
-         save_every=args.save_every, out=args.out)
+         save_every=args.save_every, out=args.out, seed=args.seed,
+         optimizer=args.optimizer)

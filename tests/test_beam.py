@@ -665,3 +665,44 @@ def test_beam_step_impls_same_result():
         np.asarray(res["xla"].scores), np.asarray(res["fused"].scores),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_pipelined_searcher_matches_sequential():
+    """make_pipelined_beam_searcher (batch i's beam loop + batch i+1's
+    encode in one program) returns the identical results, in order, as
+    the sequential searcher — only the XLA schedule differs. Covers the
+    1-batch (prime+flush only) and 3-batch streams."""
+    from robust_e2e_gan_tpu.decode.beam import make_pipelined_beam_searcher
+
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(11)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batches = []
+    for _ in range(3):
+        b = make_batch(2, scfg, rng, ignore_id=-1)
+        batches.append((jnp.asarray(b["noisy_wav"]),
+                        jnp.asarray(b["wav_lengths"])))
+    params = model.init(
+        jax.random.PRNGKey(7), batches[0][0], batches[0][1],
+        jnp.asarray(make_batch(2, scfg, rng, ignore_id=-1)["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+
+    bcfg = BeamSearchConfig(beam_size=3, ctc_weight=0.3, max_steps=8)
+    seq = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True)
+    pipe = make_pipelined_beam_searcher(model, JCFG.e2e, bcfg,
+                                        use_enhancer=True)
+
+    for stream in (batches[:1], batches):
+        ref = [seq(params, w, l) for w, l in stream]
+        got = list(pipe(params, stream))
+        assert len(got) == len(ref)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r.tokens),
+                                          np.asarray(g.tokens))
+            np.testing.assert_allclose(np.asarray(r.scores),
+                                       np.asarray(g.scores),
+                                       rtol=1e-5, atol=1e-5)
+
+    # empty stream yields nothing
+    assert list(pipe(params, [])) == []

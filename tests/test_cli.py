@@ -529,6 +529,16 @@ def test_score_cli_and_unified_entry(tmp_path, capsys):
     with pytest.raises(SystemExit):
         score_cli.main(["--ref", str(ref), "--hyp", str(hyp), "--strict"])
 
+    # --bootstrap N: CI fields appear and bracket the point estimate
+    score_cli.main(["--ref", str(ref), "--hyp", str(hyp),
+                    "--out", str(out), "--bootstrap", "200"])
+    rep = json.loads(out.read_text())
+    w = rep["wer"]
+    assert w["ci_low"] <= w["error_rate"] <= w["ci_high"]
+    assert w["confidence"] == 0.95 and w["n_resamples"] == 200
+    assert "ci_low" in rep["cer"]
+    assert "95% CI [" in capsys.readouterr().out
+
     # unified entry dispatch
     from robust_e2e_gan_tpu.__main__ import main as pkg_main
 

@@ -199,3 +199,36 @@ def test_native_kaldi_feats_batch(tmp_path):
     batch2, lens2 = res2
     assert batch2.shape == (5, 8, 12)
     assert lens2[1] == mats[1].shape[0]  # true rows reported, data clipped
+
+
+def test_bootstrap_wer_ci_closed_form():
+    """Percentile bootstrap vs closed-form cases.
+
+    (1) Identical utterances: every resample has the same WER, so the CI
+        collapses to the point estimate exactly.
+    (2) Two utterances, one perfect (0/1) and one fully wrong (1/1):
+        a size-2 resample takes WER values {0, 1/2, 1} with probabilities
+        {1/4, 1/2, 1/4}; the 2.5th/97.5th percentiles of that discrete
+        distribution are 0 and 1, so with enough resamples the 95% CI must
+        be exactly [0, 1].
+    """
+    from robust_e2e_gan_tpu.ops.editdistance import bootstrap_wer_ci
+
+    # (1) degenerate: 8 copies of the same (1 error / 2 words) utterance
+    refs = [["a", "b"]] * 8
+    hyps = [["a", "x"]] * 8
+    ci = bootstrap_wer_ci(refs, hyps, n_resamples=500, seed=1)
+    assert ci["error_rate"] == 0.5
+    assert ci["ci_low"] == 0.5 and ci["ci_high"] == 0.5
+
+    # (2) two-point distribution: closed-form percentiles
+    refs = [["a"], ["b"]]
+    hyps = [["a"], ["x"]]
+    ci = bootstrap_wer_ci(refs, hyps, n_resamples=4000, seed=0)
+    assert ci["error_rate"] == 0.5
+    assert ci["ci_low"] == 0.0 and ci["ci_high"] == 1.0
+    assert ci["confidence"] == 0.95 and ci["n_utts"] == 2
+
+    # determinism under a fixed seed
+    ci2 = bootstrap_wer_ci(refs, hyps, n_resamples=4000, seed=0)
+    assert ci == ci2
