@@ -711,6 +711,33 @@ def _bind_search_parts(model, ecfg, bcfg, use_enhancer, lm, lm_params,
     return encode_fn, decode_fn
 
 
+def pipelined_default() -> bool:
+    """Measurement-driven default for the cross-batch staged schedule.
+
+    True iff the on-chip A/B (scripts/bench_pipeline.py ->
+    results/pipeline_ab.json) recorded a >5% win on the TPU backend and
+    we are running on TPU now. Same idiom as bench.py's swept-batch
+    default: measured-on-hardware decisions, not guesses. Any missing or
+    malformed record means False (sequential).
+    """
+    import json
+    import os
+
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "results", "pipeline_ab.json",
+        )
+        with open(path) as f:
+            data = json.load(f)
+        return data.get("backend") == "tpu" and data.get("speedup", 0) > 1.05
+    except Exception:
+        return False
+
+
 def make_pipelined_beam_searcher(
     model,
     ecfg: E2EConfig,
@@ -755,15 +782,27 @@ def make_pipelined_beam_searcher(
     flush = jax.jit(decode_fn)
 
     def run(params, batches):
-        it = iter(batches)
-        try:
-            first = next(it)
-        except StopIteration:
-            return
-        enc = prime(params, *first)
-        for b in it:
-            res, enc = staged(params, enc, *b)
-            yield res
-        yield flush(params, enc)
+        # Length-bucketed corpora change batch shapes at bucket
+        # boundaries; a staged program spanning two shapes would compile
+        # once per (bucket_i, bucket_j) PAIR observed. Flush + re-prime
+        # at each shape change instead, so only same-shape staged
+        # programs (plus one prime/flush per bucket) ever compile.
+        enc = None
+        cur_shape = None
+        for b in batches:
+            shape = tuple(
+                x.shape for x in jax.tree_util.tree_leaves(b)
+            )
+            if enc is not None and shape != cur_shape:
+                yield flush(params, enc)
+                enc = None
+            if enc is None:
+                enc = prime(params, *b)
+                cur_shape = shape
+            else:
+                res, enc = staged(params, enc, *b)
+                yield res
+        if enc is not None:
+            yield flush(params, enc)
 
     return run

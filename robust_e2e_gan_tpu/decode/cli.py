@@ -32,7 +32,9 @@ from robust_e2e_gan_tpu.data.dataset import (
     CharTokenizer,
     load_tokenizer,
 )
-from robust_e2e_gan_tpu.decode.beam import make_beam_searcher
+from robust_e2e_gan_tpu.decode.beam import (
+    make_beam_searcher, pipelined_default,
+)
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
 from robust_e2e_gan_tpu.ops.ctc import ctc_greedy_decode
 from robust_e2e_gan_tpu.ops.editdistance import score_texts, wer_details
@@ -99,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel serving: shard each decode batch "
                         "over this many devices (0 = single device); "
                         "batch size must divide it")
+    p.add_argument("--pipelined", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="cross-batch staged serving (batch i's beam loop "
+                        "+ batch i+1's encode in one program; token-"
+                        "identical results). auto = on when the on-chip "
+                        "A/B (results/pipeline_ab.json) measured a win; "
+                        "greedy/--dump-attention paths stay sequential")
     p.add_argument("--nbest", type=int, default=0,
                    help="also write the top-N beam hypotheses per utterance "
                         "to nbest.jsonl")
@@ -387,25 +396,68 @@ def _main(argv: Optional[list] = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     refs, hyps, lines, nbest_rows = [], [], [], []
     ref_texts, hyp_texts = [], []
-    for batch in batcher.epoch(shuffle=False):
-        if input_kind in ("feats", "spec"):
-            wav, lens = to_device([batch["feats"], batch["feat_lengths"]])
-        else:
-            wav, lens = to_device(
-                [batch["noisy_wav"], batch["wav_lengths"]]
+
+    def prepped_batches():
+        for batch in batcher.epoch(shuffle=False):
+            if input_kind in ("feats", "spec"):
+                wav, lens = to_device(
+                    [batch["feats"], batch["feat_lengths"]]
+                )
+            else:
+                wav, lens = to_device(
+                    [batch["noisy_wav"], batch["wav_lengths"]]
+                )
+            cmvn_batch = (
+                (jnp.asarray(batch["cmvn_mean"]),
+                 jnp.asarray(batch["cmvn_inv_std"]))
+                if "cmvn_mean" in batch else None
             )
-        cmvn_batch = (
-            (jnp.asarray(batch["cmvn_mean"]),
-             jnp.asarray(batch["cmvn_inv_std"]))
-            if "cmvn_mean" in batch else None
+            yield batch, wav, lens, cmvn_batch
+
+    use_pipe = (
+        not args.greedy and not args.dump_attention
+        and args.pipelined != "off"
+        and (args.pipelined == "on" or pipelined_default())
+    )
+    if use_pipe:
+        from robust_e2e_gan_tpu.decode.beam import (
+            make_pipelined_beam_searcher,
         )
+
+        pipe_run = make_pipelined_beam_searcher(
+            model, jcfg.e2e, bcfg, use_enhancer=use_enh,
+            lm=lm, lm_params=lm_params, input_kind=input_kind,
+            log_domain=log_domain,
+        )
+        print("pipelined serving schedule (cross-batch staged)")
+
+        def iter_results():
+            metas = []
+
+            def dev_stream():
+                for batch, wav, lens, cmvn in prepped_batches():
+                    metas.append(batch)
+                    yield wav, lens, cmvn
+
+            for i, res in enumerate(pipe_run(state.params_g,
+                                             dev_stream())):
+                batch, metas[i] = metas[i], None  # free host refs as we go
+                yield batch, None, None, None, res
+    else:
+
+        def iter_results():
+            for batch, wav, lens, cmvn in prepped_batches():
+                res = (None if args.greedy
+                       else searcher(state.params_g, wav, lens, cmvn))
+                yield batch, wav, lens, cmvn, res
+
+    for batch, wav, lens, cmvn_batch, res in iter_results():
         if args.greedy:
             toks = np.asarray(
                 greedy_fn(state.params_g, wav, lens, cmvn_batch)
             )
             batch_hyps = [[int(x) for x in row if x != -1] for row in toks]
         else:
-            res = searcher(state.params_g, wav, lens, cmvn_batch)
             toks = np.asarray(res.tokens)
             batch_hyps = [[int(x) for x in row if x != -1] for row in toks]
             if args.nbest > 0:

@@ -104,16 +104,25 @@ TCFG = TrainConfig(optimizer="adam", learning_rate=1e-3)
 PAD_TO = SCFG.max_samples
 
 
-def batches(rng, n, bs=16, skip_first=0):
+def batches(rng, n, bs=16, skip_first=0, synth_skipped=True):
     """Synthetic batch stream. The first ``skip_first`` batches are
-    synthesized (the rng stream must advance bit-identically on resume)
-    but yielded as None without the device transfer — over the remote
-    tunnel the per-batch jnp.asarray costs more than the synthesis."""
+    yielded as None without the device transfer; with
+    ``synth_skipped=True`` they are still synthesized so the rng stream
+    advances bit-identically on resume. When the checkpoint carried the
+    exact rng bit-generator state (``rng_state`` in extra), the caller
+    restores it directly and passes ``synth_skipped=False`` — the
+    fast-forward then costs nothing (4400 skipped batches of the
+    reference-scale run otherwise resynthesize for ~17 min on this
+    1-CPU host)."""
     for i in range(n):
-        b = make_batch(bs, SCFG, rng, pad_to_samples=PAD_TO, ignore_id=-1)
         if i < skip_first:
+            if synth_skipped:
+                make_batch(bs, SCFG, rng, pad_to_samples=PAD_TO,
+                           ignore_id=-1)
             yield None
         else:
+            b = make_batch(bs, SCFG, rng, pad_to_samples=PAD_TO,
+                           ignore_id=-1)
             yield {k: jnp.asarray(v) for k, v in b.items()}
 
 
@@ -204,6 +213,7 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
     done_global = -1
     partial = {}
     partial_path = None
+    rng_restored = False
     if ckpt_dir:
         from robust_e2e_gan_tpu.utils.checkpoint import (
             has_checkpoint, read_extra, restore_checkpoint, save_checkpoint,
@@ -232,6 +242,12 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
                 print("[resume] WARNING: checkpoint predates run-arg "
                       "recording; cannot validate relaunch args match",
                       flush=True)
+            if "rng_state" in extra:
+                # exact bit-generator state: fast-forward costs nothing
+                rng.bit_generator.state = extra["rng_state"]
+                rng_restored = True
+                print("[resume] rng state restored (skipping batch "
+                      "resynthesis)", flush=True)
             if _o.path.exists(partial_path):
                 try:
                     with open(partial_path) as f:
@@ -252,16 +268,20 @@ def main(steps_a=400, steps_c=400, scale="toy", with_lm=False,
         nonlocal state, gstep
         m = None
         skip = min(max(done_global + 1 - gstep, 0), n_steps)
-        for i, b in enumerate(batches(rng, n_steps, bs=bs,
-                                      skip_first=skip)):
+        for i, b in enumerate(batches(rng, n_steps, bs=bs, skip_first=skip,
+                                      synth_skipped=not rng_restored)):
             if b is not None:
                 state, m = step_fn(state, b)
                 if i % log_every == 0:
                     print(f"[{tag}] step {i} " + fmt(m), flush=True)
                 if ckpt_dir and (gstep + 1) % save_every == 0:
-                    save_checkpoint(ckpt_dir, state, gstep + 1, keep=1,
-                                    extra={"global_step": gstep,
-                                           "run_args": run_args})
+                    save_checkpoint(
+                        ckpt_dir, state, gstep + 1, keep=1,
+                        extra={"global_step": gstep,
+                               "run_args": run_args,
+                               # exact generator position: the next
+                               # resume restores it and skips resynthesis
+                               "rng_state": rng.bit_generator.state})
             gstep += 1
         return m
 

@@ -706,3 +706,16 @@ def test_pipelined_searcher_matches_sequential():
 
     # empty stream yields nothing
     assert list(pipe(params, [])) == []
+
+    # bucketed stream: a shape change mid-stream (different pad lengths)
+    # must flush + re-prime, still yielding in-order identical results
+    b_long = make_batch(2, scfg, rng, ignore_id=-1,
+                        pad_to_samples=int(batches[0][0].shape[1] * 2))
+    mixed = batches[:2] + [(jnp.asarray(b_long["noisy_wav"]),
+                            jnp.asarray(b_long["wav_lengths"]))]
+    ref = [seq(params, w, l) for w, l in mixed]
+    got = list(pipe(params, mixed))
+    assert len(got) == 3
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r.tokens),
+                                      np.asarray(g.tokens))

@@ -73,6 +73,16 @@ def test_train_and_decode_cli(manifest, tmp_path):
     assert len(hyp) == 8 and all(line.split()[0].startswith("u") for line in hyp)
     assert len({line.split()[0] for line in hyp}) == 8  # no pad duplicates
 
+    # --pipelined on: cross-batch staged schedule, identical transcripts
+    outp = str(tmp_path / "dec_pipe")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", outp,
+        "--batch-size", "3", "--beam-size", "3", "--max-steps", "6",
+        "--length-buckets", "16000", "--pipelined", "on",
+    ])
+    hyp_pipe = open(os.path.join(outp, "hyp.txt")).read()
+    assert hyp_pipe == open(os.path.join(out, "hyp.txt")).read()
+
     # greedy path too
     out2 = str(tmp_path / "dec_greedy")
     decode_cli.main([
