@@ -25,7 +25,8 @@ echo "[r5b] starting $(date -u)" >> results/r5_hw/watch.log
 run_job pipeline_ab 2400 python -u scripts/bench_pipeline.py 12
 run_job batch_bisect 3600 python -u scripts/bench_batch_bisect.py
 run_job beam_parts 1200 python -u scripts/bench_beam_parts.py
-run_job bench_a 1500 python -u bench.py
+run_job bench_a 2400 python -u bench.py
 run_job bench_b 900 python -u bench.py
 run_job bench_c 900 python -u bench.py
+run_job mfu_report 2400 python -u scripts/mfu_report.py
 echo "[r5b] ALL R5B JOBS DONE $(date -u)" >> results/r5_hw/watch.log

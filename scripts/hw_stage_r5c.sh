@@ -22,8 +22,11 @@ run_job() {
 }
 
 echo "[r5c] starting $(date -u)" >> results/r5_hw/watch.log
-run_job ab_ref_seed1 10800 python -u scripts/adversarial_benefit.py \
-  3600 1200 --scale reference --lm --lr 3e-4 --warmup 600 --bs 32 \
+# 4000/1500 = the budget of the RECORDED flagship run
+# (results/adversarial_benefit_reference.json r4 steps), so seed 1
+# replicates that protocol exactly, with the tighter 192-utt eval.
+run_job ab_ref_seed1 12000 python -u scripts/adversarial_benefit.py \
+  4000 1500 --scale reference --lm --lr 3e-4 --warmup 600 --bs 32 \
   --eval-utts 192 --seed 1 --ckpt-dir exp/ab_ref_seed1 --save-every 400 \
   --out results/adversarial_benefit_reference_seed1.json
 run_job ab_seed1 3600 python -u scripts/adversarial_benefit.py 800 800 \

@@ -240,6 +240,36 @@ def decode_report():
         "total_ms": sec * 1e3,
     }
 
+    # --- cross-batch staged program (round 5): beam(i) + encode(i+1) in
+    # one program. cross_batch_overlap_ms = (sequential total) - (staged
+    # steady-state) — how much of the next batch's encode XLA actually
+    # hides inside the beam loop's bubbles.
+    pipelined = None
+    try:
+        from robust_e2e_gan_tpu.decode.beam import (
+            make_pipelined_beam_searcher,
+        )
+
+        pipe = make_pipelined_beam_searcher(model, jcfg.e2e, bcfg,
+                                            use_enhancer=True)
+        stream = [(wav, lens)] * 10
+
+        def run_stream():
+            out = None
+            for r in pipe(params, stream):
+                out = r.lengths
+            return out
+
+        t_stream = _timed(run_stream, min_seconds=3.0, chunk=1)
+        staged_ms = t_stream * 1e3 / len(stream)  # steady-state per batch
+        pipelined = {
+            "staged_ms_per_batch": staged_ms,
+            "cross_batch_overlap_ms": sec * 1e3 - staged_ms,
+            "utt_per_s": B / (staged_ms / 1e3),
+        }
+    except Exception as e:
+        pipelined = {"error": str(e)[:200]}
+
     return {
         "program": "flagship batched beam decode (bench.py shapes)",
         "batch": B,
@@ -252,6 +282,7 @@ def decode_report():
         "hbm_bw_util": cost["bytes"] / sec / V5E_HBM_BW,
         "utt_per_s": B / sec,
         "stages": stages,
+        "pipelined": pipelined,
     }
 
 
