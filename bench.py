@@ -94,19 +94,30 @@ def _production_row():
     import dataclasses
     import os
 
-    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "exp", "ab_ref_ckpt")
+    import glob as _glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    # prefer the canonical paper-claim dir; fall back to any reference-scale
+    # seed-replication run (exp/ is untracked and a VM restart can wipe the
+    # original — any ab_ref* checkpoint is the same 36M recipe)
+    candidates = [os.path.join(root, "exp", "ab_ref_ckpt")] + sorted(
+        _glob.glob(os.path.join(root, "exp", "ab_ref*")))
     try:
         from flax import serialization
 
         from robust_e2e_gan_tpu.utils.checkpoint import _read_meta
         from scripts.adversarial_benefit import PAD_TO, SCFG, jcfg_for
 
-        entry = _read_meta(ckpt_dir).get("latest")
-        if not entry:
-            return None
-        path = os.path.join(ckpt_dir, entry["path"])
-        if not os.path.exists(path):
+        entry, path, ckpt_dir = None, None, None
+        for d in candidates:
+            e = _read_meta(d).get("latest")
+            if not e:
+                continue
+            p = os.path.join(d, e["path"])
+            if os.path.exists(p) and (
+                    entry is None or e["step"] > entry["step"]):
+                entry, path, ckpt_dir = e, p, d
+        if entry is None:
             return None
         # raw msgpack -> params_g subtree (no optimizer templates needed)
         with open(path, "rb") as f:
@@ -130,7 +141,8 @@ def _production_row():
         iters, dt = _timed(lambda: searcher(params, wav, lens).lengths,
                            min_seconds=3.0, chunk=4)
         return {
-            "model": "reference-scale 36M, trained (exp/ab_ref_ckpt)",
+            "model": "reference-scale 36M, trained "
+                     f"({os.path.relpath(ckpt_dir, root)})",
             "early_exit": True,
             "end_detect": True,
             "batch": B,

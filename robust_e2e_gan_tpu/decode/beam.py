@@ -311,6 +311,7 @@ def beam_search_from_encoder(
     bcfg: BeamSearchConfig,
     lm_step_fn: Callable = None,
     lm_init_fn: Callable = None,
+    aux=None,
 ) -> BeamResult:
     """Core search given encoder outputs.
 
@@ -323,6 +324,14 @@ def beam_search_from_encoder(
       lm_step_fn/lm_init_fn: optional bound RNNLM step for shallow fusion
         (score += bcfg.lm_weight * log p_LM); same carry discipline as the
         decoder step.
+      aux: optional (aux_step_fn, aux_carry0) piggyback work — each beam
+        step i additionally runs aux_carry = aux_step_fn(aux_carry, i),
+        a data-INDEPENDENT chain the TPU scheduler overlaps with the
+        latency-bound decode step inside the same scan iteration (the
+        chunked-encode serving pipeline, decode/chunked_encode.py).
+        When given, returns (BeamResult, final_aux_carry) and requires
+        early_exit=False (the scan must run all max_steps so the aux
+        schedule completes deterministically).
     """
     b, t, _ = enc.shape
     v = ctc_logits.shape[-1]
@@ -393,7 +402,15 @@ def beam_search_from_encoder(
     ended_best = jnp.full((b,), LOG_ZERO, jnp.float32)
     stall = jnp.zeros((b,), jnp.int32)
 
+    if aux is not None and bcfg.early_exit:
+        raise ValueError(
+            "aux piggyback work requires early_exit=False (the scan "
+            "must run all max_steps)"
+        )
+
     def decode_step(carry, i):
+        if aux is not None:
+            carry, aux_carry = carry
         (scores, tokens, lengths, finished, last_tok, psi_g, r_n, r_b,
          ended_best, stall, dec_carry, lm_carry) = carry
 
@@ -575,10 +592,16 @@ def beam_search_from_encoder(
 
         new_carry = (top_scores, tokens, lengths, finished, last_tok, psi_g,
                      r_n, r_b, ended_best, stall, dec_carry, lm_carry)
+        if aux is not None:
+            # independent chain: XLA schedules it alongside the decode
+            # step's latency-bound ops within this iteration
+            return (new_carry, aux[0](aux_carry, i)), None
         return new_carry, None
 
     carry0 = (scores, tokens, lengths, finished, last_tok, psi_g, r_n, r_b,
               ended_best, stall, dec_carry, lm_carry)
+    if aux is not None:
+        carry0 = (carry0, aux[1])
     if bcfg.early_exit:
         # while_loop with an all-finished predicate: post-finish scan steps
         # are provably no-ops (frozen eos self-loops re-select the same
@@ -601,6 +624,9 @@ def beam_search_from_encoder(
             decode_step, carry0, jnp.arange(l, dtype=jnp.int32),
             unroll=max(bcfg.scan_unroll, 1),
         )
+    aux_final = None
+    if aux is not None:
+        carry, aux_final = carry
     scores, tokens, lengths = carry[0], carry[1], carry[2]
 
     rank = scores
@@ -612,9 +638,27 @@ def beam_search_from_encoder(
     )[:, 0]
     best_lengths = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
     best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
-    return BeamResult(
+    result = BeamResult(
         best_tokens, best_lengths, best_scores, tokens, lengths, scores
     )
+    if aux is not None:
+        return result, aux_final
+    return result
+
+
+def _padded_batch(b: int) -> int:
+    """Measured-good decode batch tile (round-5 bisect, results/
+    batch_bisect.json + batch_sweep.json): B=112 degrades 1.9x (the
+    fused attention kernel's lane packing wants B % 32 == 0; att=xla
+    removes that cliff) and B=144 degrades 2.5x in EVERY impl variant
+    (XLA-level, survives lstm=scan/att=xla/prefix=twopass) — both are
+    the non-multiples of 32 in the sweep, while 64/96/128/160/192/256
+    are all cliff-free. Padding up to the next multiple of 32 is
+    therefore the guard; below 32 there is no measured cliff and
+    padding waste dominates."""
+    if b > 32 and b % 32:
+        return b + 32 - b % 32
+    return b
 
 
 def make_beam_searcher(
@@ -626,6 +670,7 @@ def make_beam_searcher(
     lm_params=None,
     input_kind: str = "wav",
     log_domain: bool = False,
+    pad_batch="auto",
 ) -> Callable:
     """Bind a RobustE2E model into a jitted wav -> BeamResult function.
 
@@ -634,6 +679,14 @@ def make_beam_searcher(
     CTC/attention beam search for a whole batch of utterances. Pass an
     ``RNNLM`` module + params (models/lm.py) with ``bcfg.lm_weight > 0`` for
     shallow fusion.
+
+    ``pad_batch``: "auto" pads odd batch sizes up to the measured-good
+    tile ladder on TPU (see _padded_batch — protects library callers
+    from the B=112/144 cliffs, not just the CLI batcher), an int pads to
+    at least that size, None/False disables. Pad rows repeat the last
+    utterance and are sliced off the result; per-utterance independence
+    of the search makes this exact for the real rows
+    (tests/test_beam.py::test_pad_batch_guard_exact).
     """
     encode_fn, decode_fn = _bind_search_parts(
         model, ecfg, bcfg, use_enhancer, lm, lm_params, input_kind,
@@ -641,8 +694,33 @@ def make_beam_searcher(
     )
 
     def search(params, wav, wav_lengths, cmvn_batch=None):
-        return decode_fn(params, encode_fn(params, wav, wav_lengths,
-                                           cmvn_batch))
+        b = wav.shape[0]
+        if pad_batch == "auto":
+            target = (
+                _padded_batch(b)
+                if jax.default_backend() == "tpu" else b
+            )
+        elif not pad_batch:
+            target = b
+        else:
+            target = max(int(pad_batch), b)
+        if target != b:
+            reps = target - b
+
+            def pad_rows(x):
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], reps, axis=0)], axis=0
+                )
+
+            wav = pad_rows(wav)
+            wav_lengths = pad_rows(wav_lengths)
+            if cmvn_batch is not None:
+                cmvn_batch = tuple(pad_rows(c) for c in cmvn_batch)
+        res = decode_fn(params, encode_fn(params, wav, wav_lengths,
+                                          cmvn_batch))
+        if target != b:
+            res = BeamResult(*(x[:b] for x in res))
+        return res
 
     return jax.jit(search)
 
@@ -687,7 +765,7 @@ def _bind_search_parts(model, ecfg, bcfg, use_enhancer, lm, lm_params,
             method=RobustE2E.encode_for_decode,
         )
 
-    def decode_fn(params, enc):
+    def decode_fn(params, enc, aux=None):
         hs, hmask, hlens, ctc_logits, enc_proj = enc
         variables = {"params": params}
 
@@ -706,6 +784,7 @@ def _bind_search_parts(model, ecfg, bcfg, use_enhancer, lm, lm_params,
         return beam_search_from_encoder(
             step_fn, init_fn, hs, hmask, hlens, enc_proj, ctc_logits,
             ecfg, bcfg, lm_step_fn=lm_step_fn, lm_init_fn=lm_init_fn,
+            aux=aux,
         )
 
     return encode_fn, decode_fn
@@ -801,6 +880,103 @@ def make_pipelined_beam_searcher(
                 cur_shape = shape
             else:
                 res, enc = staged(params, enc, *b)
+                yield res
+        if enc is not None:
+            yield flush(params, enc)
+
+    return run
+
+
+def make_chunked_pipelined_beam_searcher(
+    model,
+    ecfg: E2EConfig,
+    bcfg: BeamSearchConfig,
+    use_enhancer: bool = True,
+    lm=None,
+    lm_params=None,
+) -> Callable:
+    """Chunked-encode pipelined serving: batch i+1's encode runs INSIDE
+    batch i's beam scan, one chunk per decode step.
+
+    The schedule-level staging of make_pipelined_beam_searcher measured
+    0.9995x (results/pipeline_ab.json) because the beam loop is one XLA
+    while op, placed atomically — nothing outside it overlaps it. This
+    variant moves the encode chain into the loop body itself
+    (decode/chunked_encode.py): each scan iteration runs one decode step
+    of batch i plus one chunk of batch i+1's STFT/enhancer/VGG/BLSTM
+    pipeline, two independent chains XLA schedules together (the same
+    within-iteration overlap already measured at 20.9 ms in
+    results/beam_parts.json). Ceiling if the overlap is perfect: hide
+    the whole ~33 ms encode behind the ~30 ms beam loop, ~1.8x.
+
+    Same contract as make_pipelined_beam_searcher: ``run(params,
+    batches)`` over (wav, lens) tuples, one BeamResult per batch in
+    order, flush/re-prime at shape changes. Requires early_exit=False,
+    input_kind="wav", and utterance/none CMVN; the chunked BLSTMs use
+    the scan math (the fused Pallas kernels loop full T internally), a
+    measured ~5.6% cost (results/kernel_ab.json) that the overlap must
+    beat for this schedule to win.
+    """
+    from robust_e2e_gan_tpu.decode.chunked_encode import (
+        build_chunked_encode,
+        make_chunk_plan,
+    )
+
+    if bcfg.early_exit:
+        raise ValueError(
+            "chunked pipelined serving requires early_exit=False"
+        )
+    encode_fn, decode_fn = _bind_search_parts(
+        model, ecfg, bcfg, use_enhancer, lm, lm_params, "wav", False
+    )
+    jcfg = model.cfg
+    prime = jax.jit(encode_fn)
+    flush = jax.jit(decode_fn)
+    staged_cache = {}
+
+    def staged_for(n_samples: int):
+        if n_samples not in staged_cache:
+            plan = make_chunk_plan(
+                jcfg, n_samples, bcfg.max_steps, use_enhancer
+            )
+            init_fn, step_fn, finalize_fn = build_chunked_encode(
+                model, jcfg, plan, use_enhancer
+            )
+
+            @jax.jit
+            def staged(params, enc, wav, wav_lengths):
+                aux0 = init_fn(params, wav, wav_lengths)
+                res, aux_t = decode_fn(
+                    params, enc,
+                    aux=(lambda c, i: step_fn(params, c, i), aux0),
+                )
+                enc_next = finalize_fn(params, aux_t, bcfg.max_steps)
+                return res, enc_next
+
+            staged_cache[n_samples] = staged
+        return staged_cache[n_samples]
+
+    def run(params, batches):
+        enc = None
+        cur_shape = None
+        for b in batches:
+            wav, lens = b[0], b[1]
+            if len(b) > 2 and b[2] is not None:
+                raise ValueError(
+                    "chunked pipelined serving does not take per-batch "
+                    "CMVN stats — use the sequential searcher"
+                )
+            shape = (wav.shape, lens.shape)
+            if enc is not None and shape != cur_shape:
+                yield flush(params, enc)
+                enc = None
+            if enc is None:
+                enc = prime(params, wav, lens)
+                cur_shape = shape
+            else:
+                res, enc = staged_for(wav.shape[1])(
+                    params, enc, wav, lens
+                )
                 yield res
         if enc is not None:
             yield flush(params, enc)

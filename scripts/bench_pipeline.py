@@ -1,17 +1,20 @@
-"""A/B: cross-batch staged serving vs the sequential searcher (round-4
-VERDICT weak #3 / next-round item 2).
-
-Measures, at the exact bench.py shapes/impls (flagship bf16, B=128, beam 8,
-48-step search, ~7 s utterances):
-  (a) sequential: make_beam_searcher called per batch (the round-4 headline
-      schedule — enhancer, encoder, beam strictly serial per batch);
+"""A/B/C: serving schedules at the exact bench.py shapes/impls (flagship
+bf16, B=128, beam 8, 48-step search, ~7 s utterances):
+  (a) sequential: make_beam_searcher called per batch (enhancer,
+      encoder, beam strictly serial per batch);
   (b) pipelined: make_pipelined_beam_searcher — batch i's beam loop and
-      batch i+1's enhancer+encoder in ONE jitted program, so XLA may
-      co-schedule the latency-bound beam scan with the next batch's
-      throughput-bound encode matmuls.
+      batch i+1's enhancer+encoder in ONE jitted program (schedule-level
+      staging; measured ~1.00x in round 5 — the beam scan is one XLA
+      while op, placed atomically);
+  (c) chunked: make_chunked_pipelined_beam_searcher — batch i+1's encode
+      cut into per-decode-step chunks INSIDE batch i's beam scan body
+      (decode/chunked_encode.py), the one schedule the TPU scheduler can
+      actually overlap (within-iteration independent chains).
 
-Also asserts token-exact equivalence of the two schedules on one stream.
-Writes results/pipeline_ab.json. Usage:
+Asserts token-exact equivalence of the schedules (chunked against a
+lstm_impl="scan" sequential searcher — the chunked sweeps use scan math,
+the sequential headline uses the fused kernels). Writes
+results/pipeline_ab.json. Usage:
   PYTHONPATH=/root/repo python scripts/bench_pipeline.py [n_batches]
 """
 
@@ -37,7 +40,9 @@ from __graft_entry__ import _flagship_config
 from robust_e2e_gan_tpu.config import BeamSearchConfig
 from robust_e2e_gan_tpu.data.synthetic import SyntheticConfig, make_batch
 from robust_e2e_gan_tpu.decode.beam import (
-    make_beam_searcher, make_pipelined_beam_searcher,
+    make_beam_searcher,
+    make_chunked_pipelined_beam_searcher,
+    make_pipelined_beam_searcher,
 )
 from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
 
@@ -78,6 +83,9 @@ def main(n_batches: int = 12, reps: int = 3) -> None:
     seq = make_beam_searcher(model, jcfg.e2e, bcfg, use_enhancer=True)
     pipe = make_pipelined_beam_searcher(model, jcfg.e2e, bcfg,
                                         use_enhancer=True)
+    chunked = make_chunked_pipelined_beam_searcher(
+        model, jcfg.e2e, bcfg, use_enhancer=True
+    )
 
     # --- equivalence: same tokens under both schedules ---
     ref = [np.asarray(seq(params, w, l).tokens) for w, l in batches[:3]]
@@ -85,6 +93,35 @@ def main(n_batches: int = 12, reps: int = 3) -> None:
     for i, (a, b) in enumerate(zip(ref, got)):
         np.testing.assert_array_equal(a, b, err_msg=f"batch {i} diverged")
     print(f"equivalence OK over 3 batches (B={B})", flush=True)
+
+    # chunked staged batches use scan-math BLSTM sweeps: compare them
+    # against a scan-impl sequential searcher for EXACT agreement
+    # (batch 0 is primed with the fused kernels, so check batches 1..2)
+    jcfg_scan = dataclasses.replace(
+        jcfg,
+        e2e=dataclasses.replace(
+            jcfg.e2e,
+            encoder=dataclasses.replace(
+                jcfg.e2e.encoder, lstm_impl="scan"
+            ),
+        ),
+        enhancer=dataclasses.replace(jcfg.enhancer, lstm_impl="scan"),
+    )
+    seq_scan = make_beam_searcher(
+        build_model(jcfg_scan), jcfg_scan.e2e, bcfg, use_enhancer=True
+    )
+    ref_scan = [np.asarray(seq_scan(params, w, l).tokens)
+                for w, l in batches[1:3]]
+    got_chunked = [np.asarray(r.tokens)
+                   for r in chunked(params, batches[:3])][1:]
+    for i, (a, b) in enumerate(zip(ref_scan, got_chunked)):
+        mismatch = (a != b).any(axis=1).sum()
+        print(f"chunked batch {i+1}: {mismatch}/{a.shape[0]} utts "
+              "differ vs scan-sequential", flush=True)
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"chunked batch {i+1} diverged"
+        )
+    print("chunked equivalence OK", flush=True)
 
     # --- timing: whole-stream wall clock, hard host sync at the end of
     # each rep (np.asarray fetch; block_until_ready returns early on this
@@ -99,9 +136,15 @@ def main(n_batches: int = 12, reps: int = 3) -> None:
         np.asarray(outs[-1])
         return outs
 
+    def time_chunked():
+        outs = [r.lengths for r in chunked(params, batches)]
+        np.asarray(outs[-1])
+        return outs
+
     time_seq()
     time_pipe()
-    seq_t, pipe_t = [], []
+    time_chunked()
+    seq_t, pipe_t, chunk_t = [], [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         time_seq()
@@ -109,9 +152,13 @@ def main(n_batches: int = 12, reps: int = 3) -> None:
         t0 = time.perf_counter()
         time_pipe()
         pipe_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        time_chunked()
+        chunk_t.append(time.perf_counter() - t0)
     n_utts = B * n_batches
     seq_best = min(seq_t)
     pipe_best = min(pipe_t)
+    chunk_best = min(chunk_t)
     out = {
         "program": "flagship batched beam decode, bench.py shapes/impls",
         "backend": jax.default_backend(),
@@ -126,7 +173,12 @@ def main(n_batches: int = 12, reps: int = 3) -> None:
             "s_per_stream": [round(t, 4) for t in pipe_t],
             "utt_per_s": round(n_utts / pipe_best, 1),
         },
+        "chunked": {
+            "s_per_stream": [round(t, 4) for t in chunk_t],
+            "utt_per_s": round(n_utts / chunk_best, 1),
+        },
         "speedup": round(seq_best / pipe_best, 4),
+        "chunked_speedup": round(seq_best / chunk_best, 4),
     }
     print(json.dumps(out, indent=2), flush=True)
     _os.makedirs("results", exist_ok=True)

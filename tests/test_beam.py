@@ -719,3 +719,39 @@ def test_pipelined_searcher_matches_sequential():
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r.tokens),
                                       np.asarray(g.tokens))
+
+
+def test_pad_batch_guard_exact():
+    """The library-level batch-pad guard (round-5 bisect: B=112/144
+    cliffs -> pad to the multiple-of-32 ladder) must be invisible to
+    callers: padded search == unpadded search on the real rows."""
+    from robust_e2e_gan_tpu.decode.beam import _padded_batch
+
+    # the measured ladder: non-multiples of 32 above 32 pad up
+    assert _padded_batch(112) == 128
+    assert _padded_batch(144) == 160
+    assert _padded_batch(128) == 128
+    assert _padded_batch(5) == 5  # no measured cliff below 32
+
+    model = RobustE2E(JCFG)
+    rng = np.random.default_rng(21)
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batch = make_batch(3, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(7), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    bcfg = BeamSearchConfig(beam_size=3, ctc_weight=0.3, max_steps=8)
+    plain = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True,
+                               pad_batch=None)
+    padded = make_beam_searcher(model, JCFG.e2e, bcfg, use_enhancer=True,
+                                pad_batch=8)  # forces 3 -> 8
+    r0 = plain(params, wav, lens)
+    r1 = padded(params, wav, lens)
+    assert r1.tokens.shape == r0.tokens.shape  # pad rows sliced off
+    np.testing.assert_array_equal(np.asarray(r0.tokens),
+                                  np.asarray(r1.tokens))
+    np.testing.assert_allclose(np.asarray(r0.scores),
+                               np.asarray(r1.scores), rtol=1e-5, atol=1e-5)
