@@ -289,6 +289,42 @@ def main():
         print(f"pipelined schedule skipped ({str(e)[:120]})",
               file=sys.stderr)
 
+    # --- chunked-encode schedule (round-5): batch i+1's encode cut into
+    # per-decode-step chunks INSIDE batch i's beam scan
+    # (decode/chunked_encode.py) — the only schedule that can overlap
+    # the atomic beam while-op. Same best-of-three protocol.
+    chunked_utt_s = None
+    try:
+        from robust_e2e_gan_tpu.decode.beam import (
+            make_chunked_pipelined_beam_searcher,
+        )
+
+        chunked = make_chunked_pipelined_beam_searcher(
+            model, jcfg.e2e, bcfg, use_enhancer=True
+        )
+        stream = [(wav, lens)] * 16
+
+        def run_chunked():
+            out = None
+            for r in chunked(params, stream):
+                out = r.lengths
+            return out
+
+        np.asarray(run_chunked())  # compile + warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_chunked())
+            dt_c = time.perf_counter() - t0
+            best = dt_c if best is None else min(best, dt_c)
+        chunked_utt_s = B * len(stream) / best
+        utt_s = max(utt_s, chunked_utt_s)
+    except Exception as e:
+        import sys
+
+        print(f"chunked schedule skipped ({str(e)[:120]})",
+              file=sys.stderr)
+
     # --- reference-style batch=1 loop (host-driven per-utterance decode) ---
     # Round-4 VERDICT weak #1: 8 RTT-dominated iterations made vs_baseline
     # swing 45% run to run. Now: >=64 iterations, per-iteration wall times,
@@ -330,8 +366,14 @@ def main():
     }
     if pipe_utt_s is not None:
         row["pipelined_utt_s"] = round(pipe_utt_s, 2)
-        row["schedule"] = ("pipelined" if pipe_utt_s > seq_utt_s
-                           else "sequential")
+    if chunked_utt_s is not None:
+        row["chunked_utt_s"] = round(chunked_utt_s, 2)
+    schedules = {"sequential": seq_utt_s}
+    if pipe_utt_s is not None:
+        schedules["pipelined"] = pipe_utt_s
+    if chunked_utt_s is not None:
+        schedules["chunked"] = chunked_utt_s
+    row["schedule"] = max(schedules, key=schedules.get)
     prod = _production_row()
     if prod is not None:
         row["production"] = prod

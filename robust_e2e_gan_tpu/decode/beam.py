@@ -817,6 +817,38 @@ def pipelined_default() -> bool:
         return False
 
 
+def serving_schedule_default() -> str:
+    """Measurement-driven serving schedule: "sequential" | "pipelined" |
+    "chunked", whichever the on-chip A/B (scripts/bench_pipeline.py ->
+    results/pipeline_ab.json) recorded fastest by >5% on TPU. Same
+    idiom as pipelined_default(); any missing/malformed record means
+    "sequential"."""
+    import json
+    import os
+
+    try:
+        if jax.default_backend() != "tpu":
+            return "sequential"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "results", "pipeline_ab.json",
+        )
+        with open(path) as f:
+            data = json.load(f)
+        if data.get("backend") != "tpu":
+            return "sequential"
+        best, best_s = "sequential", 1.05
+        for name, key in (("pipelined", "speedup"),
+                          ("chunked", "chunked_speedup")):
+            s = data.get(key) or 0
+            if s > best_s:
+                best, best_s = name, s
+        return best
+    except Exception:
+        return "sequential"
+
+
 def make_pipelined_beam_searcher(
     model,
     ecfg: E2EConfig,

@@ -33,7 +33,7 @@ from robust_e2e_gan_tpu.data.dataset import (
     load_tokenizer,
 )
 from robust_e2e_gan_tpu.decode.beam import (
-    make_beam_searcher, pipelined_default,
+    make_beam_searcher, pipelined_default, serving_schedule_default,
 )
 from robust_e2e_gan_tpu.models.enhancement import Discriminator
 from robust_e2e_gan_tpu.ops.ctc import ctc_greedy_decode
@@ -101,13 +101,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel serving: shard each decode batch "
                         "over this many devices (0 = single device); "
                         "batch size must divide it")
-    p.add_argument("--pipelined", choices=("auto", "on", "off"),
+    p.add_argument("--pipelined", choices=("auto", "on", "off", "chunked"),
                    default="auto",
-                   help="cross-batch staged serving (batch i's beam loop "
-                        "+ batch i+1's encode in one program; token-"
-                        "identical results). auto = on when the on-chip "
-                        "A/B (results/pipeline_ab.json) measured a win; "
-                        "greedy/--dump-attention paths stay sequential")
+                   help="serving schedule. on = cross-batch staged (batch "
+                        "i's beam loop + batch i+1's encode in one "
+                        "program); chunked = batch i+1's encode runs "
+                        "INSIDE batch i's beam scan, one chunk per decode "
+                        "step (wav input, utterance/none CMVN; disables "
+                        "the early-exit loop — results stay token-"
+                        "identical). auto = whichever schedule the "
+                        "on-chip A/B (results/pipeline_ab.json) measured "
+                        "fastest; greedy/--dump-attention paths stay "
+                        "sequential")
     p.add_argument("--nbest", type=int, default=0,
                    help="also write the top-N beam hypotheses per utterance "
                         "to nbest.jsonl")
@@ -414,12 +419,40 @@ def _main(argv: Optional[list] = None) -> None:
             )
             yield batch, wav, lens, cmvn_batch
 
-    use_pipe = (
-        not args.greedy and not args.dump_attention
-        and args.pipelined != "off"
-        and (args.pipelined == "on" or pipelined_default())
-    )
-    if use_pipe:
+    schedule = "sequential"
+    if (not args.greedy and not args.dump_attention
+            and args.pipelined != "off"):
+        if args.pipelined in ("on", "chunked"):
+            schedule = ("pipelined" if args.pipelined == "on"
+                        else "chunked")
+        else:  # auto: whichever the on-chip A/B measured fastest
+            schedule = serving_schedule_default()
+    if schedule == "chunked" and (
+            input_kind != "wav"
+            or jcfg.e2e.frontend.cmvn not in ("utterance", "none")):
+        # chunked staging needs the wav->encode chain and batch-free
+        # CMVN; the staged schedule has the same contract as sequential
+        print("chunked schedule unavailable for this input/CMVN mode; "
+              "using cross-batch staged")
+        schedule = ("pipelined" if pipelined_default()
+                    or args.pipelined == "chunked" else "sequential")
+    if schedule == "chunked":
+        import dataclasses as _dc
+
+        from robust_e2e_gan_tpu.decode.beam import (
+            make_chunked_pipelined_beam_searcher,
+        )
+
+        # the chunked aux schedule needs the full max_steps scan;
+        # early-exit is token-exact, so disabling it changes nothing
+        # but the schedule
+        bcfg_c = _dc.replace(bcfg, early_exit=False)
+        pipe_run = make_chunked_pipelined_beam_searcher(
+            model, jcfg.e2e, bcfg_c, use_enhancer=use_enh,
+            lm=lm, lm_params=lm_params,
+        )
+        print("chunked serving schedule (encode inside the beam scan)")
+    elif schedule == "pipelined":
         from robust_e2e_gan_tpu.decode.beam import (
             make_pipelined_beam_searcher,
         )
@@ -430,6 +463,7 @@ def _main(argv: Optional[list] = None) -> None:
             log_domain=log_domain,
         )
         print("pipelined serving schedule (cross-batch staged)")
+    if schedule in ("pipelined", "chunked"):
 
         def iter_results():
             metas = []
@@ -437,7 +471,10 @@ def _main(argv: Optional[list] = None) -> None:
             def dev_stream():
                 for batch, wav, lens, cmvn in prepped_batches():
                     metas.append(batch)
-                    yield wav, lens, cmvn
+                    if schedule == "chunked":
+                        yield wav, lens  # cmvn is None in these modes
+                    else:
+                        yield wav, lens, cmvn
 
             for i, res in enumerate(pipe_run(state.params_g,
                                              dev_stream())):

@@ -83,6 +83,18 @@ def test_train_and_decode_cli(manifest, tmp_path):
     hyp_pipe = open(os.path.join(outp, "hyp.txt")).read()
     assert hyp_pipe == open(os.path.join(out, "hyp.txt")).read()
 
+    # --pipelined chunked: next batch's encode inside the beam scan;
+    # transcripts must still be identical (early-exit is disabled under
+    # this schedule but is itself token-exact)
+    outc = str(tmp_path / "dec_chunked")
+    decode_cli.main([
+        "--manifest", manifest, "--ckpt-dir", ckpt, "--out", outc,
+        "--batch-size", "3", "--beam-size", "3", "--max-steps", "6",
+        "--length-buckets", "16000", "--pipelined", "chunked",
+    ])
+    hyp_chunked = open(os.path.join(outc, "hyp.txt")).read()
+    assert hyp_chunked == open(os.path.join(out, "hyp.txt")).read()
+
     # greedy path too
     out2 = str(tmp_path / "dec_greedy")
     decode_cli.main([
