@@ -676,21 +676,18 @@ def build_chunked_encode(
 
     def step_fn(params, carry, i):
         i = jnp.asarray(i, jnp.int32)
+        # stage owning step i: starts are sorted, the trailing noop
+        # stage has an effectively unbounded range, so ``local`` is
+        # in-range for every branch by construction (no masking of the
+        # result — a guard select over the multi-hundred-MB carry would
+        # cost more HBM traffic than the chunks themselves)
         idx = jnp.sum(i >= jnp.asarray(starts_arr)) - 1
-        # i beyond the last stage -> clamp to a noop via the guard below
         idx = jnp.clip(idx, 0, len(branches) - 1)
 
         def wrap(stage, fn):
             def branch(args):
                 carry, i = args
-                local = i - stage.start
-                out = fn(params, carry, local)
-                # steps past plan.total_steps re-enter the final stage;
-                # guard: only apply within the stage's chunk range
-                ok = (local >= 0) & (local < stage.n_chunks)
-                return jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(ok, new, old), out, carry
-                )
+                return fn(params, carry, i - stage.start)
 
             return branch
 

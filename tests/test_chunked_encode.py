@@ -189,3 +189,22 @@ def test_chunked_pipelined_searcher_matches_sequential():
             model, JCFG2.e2e,
             dataclasses.replace(bcfg, early_exit=True),
         )
+
+
+def test_chunked_encode_aligned_frame_count():
+    """t % 4 == 0 exercises the non-ragged VGG boundary (the head/tail
+    exact-geometry slices must also be right when pooling is even)."""
+    model, params, wav, lens = _setup(JCFG2)
+    # pad so num_frames = 1 + (N-400)//160 is a multiple of 4
+    n = 400 + 160 * 47  # t = 48
+    wav = jnp.pad(wav, ((0, 0), (0, n - wav.shape[1])))
+    ref = model.apply(
+        {"params": params}, wav, lens, True,
+        method=RobustE2E.encode_for_decode,
+    )
+    _, got = _run_chunked(model, JCFG2, params, wav, lens, 24, True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(g, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
