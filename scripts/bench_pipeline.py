@@ -47,30 +47,51 @@ from robust_e2e_gan_tpu.decode.beam import (
 from robust_e2e_gan_tpu.pipeline import RobustE2E, build_model
 
 
-def main(n_batches: int = 12, reps: int = 3) -> None:
-    vocab = 52
-    jcfg = dataclasses.replace(
-        _flagship_config(vocab), compute_dtype="bfloat16"
-    )
-    jcfg = dataclasses.replace(
-        jcfg,
-        e2e=dataclasses.replace(
-            jcfg.e2e,
-            encoder=dataclasses.replace(jcfg.e2e.encoder, lstm_impl="auto"),
-        ),
-        enhancer=dataclasses.replace(jcfg.enhancer, lstm_impl="auto"),
-    )
-    model = build_model(jcfg)
-    bcfg = BeamSearchConfig(beam_size=8, ctc_weight=0.3, max_steps=48,
-                            early_exit=False)
+def main(n_batches: int = 12, reps: int = 3, tiny: bool = False) -> None:
+    if tiny:
+        # CPU smoke of the full 3-way harness (equivalence + timing
+        # plumbing) at toy shapes — run before burning a chip slot
+        from __graft_entry__ import _tiny_config
 
-    rng = np.random.default_rng(0)
-    scfg = SyntheticConfig(vocab_size=vocab, min_tokens=48, max_tokens=58)
-    B = 128
-    # distinct data per stream position so equivalence is a real check
+        vocab = 12
+        jcfg = _tiny_config(vocab)
+        model = build_model(jcfg)
+        bcfg = BeamSearchConfig(beam_size=3, ctc_weight=0.3, max_steps=8,
+                                early_exit=False)
+        rng = np.random.default_rng(0)
+        scfg = SyntheticConfig(vocab_size=vocab, min_tokens=2,
+                               max_tokens=4)
+        B = 4
+    else:
+        vocab = 52
+        jcfg = dataclasses.replace(
+            _flagship_config(vocab), compute_dtype="bfloat16"
+        )
+        jcfg = dataclasses.replace(
+            jcfg,
+            e2e=dataclasses.replace(
+                jcfg.e2e,
+                encoder=dataclasses.replace(
+                    jcfg.e2e.encoder, lstm_impl="auto"
+                ),
+            ),
+            enhancer=dataclasses.replace(jcfg.enhancer, lstm_impl="auto"),
+        )
+        model = build_model(jcfg)
+        bcfg = BeamSearchConfig(beam_size=8, ctc_weight=0.3, max_steps=48,
+                                early_exit=False)
+
+        rng = np.random.default_rng(0)
+        scfg = SyntheticConfig(vocab_size=vocab, min_tokens=48,
+                               max_tokens=58)
+        B = 128
+    # distinct data per stream position so equivalence is a real check;
+    # uniform padding so the staged pairs actually engage (a shape
+    # change flushes + re-primes)
+    pad_kw = {"pad_to_samples": 16000} if tiny else {}
     batches = []
     for _ in range(n_batches):
-        b = make_batch(B, scfg, rng, ignore_id=-1)
+        b = make_batch(B, scfg, rng, ignore_id=-1, **pad_kw)
         batches.append((jnp.asarray(b["noisy_wav"]),
                         jnp.asarray(b["wav_lengths"])))
 
@@ -181,11 +202,14 @@ def main(n_batches: int = 12, reps: int = 3) -> None:
         "chunked_speedup": round(seq_best / chunk_best, 4),
     }
     print(json.dumps(out, indent=2), flush=True)
+    if tiny:
+        return  # smoke only — never overwrite the on-chip record
     _os.makedirs("results", exist_ok=True)
     with open("results/pipeline_ab.json", "w") as f:
         json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    main(n)
+    argv = [a for a in sys.argv[1:] if a != "--tiny"]
+    n = int(argv[0]) if argv else 12
+    main(n, tiny="--tiny" in sys.argv)
