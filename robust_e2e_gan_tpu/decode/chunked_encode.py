@@ -319,10 +319,16 @@ def build_chunked_encode(
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         jcfg.compute_dtype
     ]
-    if fcfg.cmvn not in ("utterance", "none"):
+    if fcfg.cmvn == "global" and getattr(model, "cmvn_stats", None) is None:
         raise ValueError(
-            f'chunked encode supports cmvn="utterance"|"none", got '
-            f"{fcfg.cmvn!r} — use the sequential searcher"
+            'cmvn="global" requires cmvn_stats on the model (see '
+            "RobustE2E)"
+        )
+    if fcfg.cmvn not in ("utterance", "global", "none"):
+        # "speaker" needs per-batch stats the staged stream cannot carry
+        raise ValueError(
+            f'chunked encode supports cmvn="utterance"|"global"|"none", '
+            f"got {fcfg.cmvn!r} — use the sequential searcher"
         )
     t, t4, m_t, m_t4 = plan.t, plan.t4, plan.m_t, plan.m_t4
     n_freqs = fcfg.n_fft // 2 + 1
@@ -476,6 +482,11 @@ def build_chunked_encode(
             if fcfg.cmvn == "utterance":
                 feats = fbank_ops.utterance_cmvn(feats, fmask_l)
             else:
+                if fcfg.cmvn == "global":
+                    mean, inv_std = model.cmvn_stats
+                    feats = fbank_ops.apply_cmvn(
+                        feats, jnp.asarray(mean), jnp.asarray(inv_std)
+                    )
                 feats = feats * fmask_l[..., None].astype(feats.dtype)
             carry["feats"] = _write_t(carry["feats"], m_t, 0, feats)
             return carry

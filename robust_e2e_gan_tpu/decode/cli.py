@@ -429,7 +429,8 @@ def _main(argv: Optional[list] = None) -> None:
             schedule = serving_schedule_default()
     if schedule == "chunked" and (
             input_kind != "wav"
-            or jcfg.e2e.frontend.cmvn not in ("utterance", "none")):
+            or jcfg.e2e.frontend.cmvn not in ("utterance", "global",
+                                              "none")):
         # chunked staging needs the wav->encode chain and batch-free
         # CMVN; the staged schedule has the same contract as sequential
         print("chunked schedule unavailable for this input/CMVN mode; "

@@ -208,3 +208,40 @@ def test_chunked_encode_aligned_frame_count():
             np.asarray(r, np.float32), np.asarray(g, np.float32),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_chunked_encode_global_cmvn():
+    """Global-CMVN frontends chunk too (constant stats applied in the
+    fbank stage; the sequential path bakes the same constants)."""
+    jcfg = dataclasses.replace(
+        JCFG1,
+        e2e=dataclasses.replace(
+            JCFG1.e2e,
+            frontend=dataclasses.replace(JCFG1.e2e.frontend,
+                                         cmvn="global"),
+        ),
+    )
+    rng = np.random.default_rng(5)
+    mean = rng.normal(size=(jcfg.e2e.frontend.n_mels,)).astype(np.float32)
+    inv_std = (0.5 + rng.random(jcfg.e2e.frontend.n_mels)).astype(
+        np.float32
+    )
+    model = RobustE2E(jcfg, cmvn_stats=(mean, inv_std))
+    scfg = SyntheticConfig(vocab_size=VOCAB, min_tokens=2, max_tokens=4)
+    batch = make_batch(2, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(7), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    ref = model.apply(
+        {"params": params}, wav, lens, True,
+        method=RobustE2E.encode_for_decode,
+    )
+    _, got = _run_chunked(model, jcfg, params, wav, lens, 24, True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(g, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
