@@ -49,6 +49,10 @@ def __getattr__(name):
         "make_pipelined_beam_searcher": (
             "robust_e2e_gan_tpu.decode.beam", "make_pipelined_beam_searcher"
         ),
+        "make_chunked_pipelined_beam_searcher": (
+            "robust_e2e_gan_tpu.decode.beam",
+            "make_chunked_pipelined_beam_searcher",
+        ),
         "train": ("robust_e2e_gan_tpu.train.loop", "train"),
     }
     if name in lazy:

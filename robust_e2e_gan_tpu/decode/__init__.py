@@ -3,7 +3,9 @@ from robust_e2e_gan_tpu.decode.beam import (
     batched_prefix_scores,
     beam_search_from_encoder,
     make_beam_searcher,
+    make_chunked_pipelined_beam_searcher,
     make_pipelined_beam_searcher,
+    serving_schedule_default,
 )
 from robust_e2e_gan_tpu.decode.ctc_prefix import CTCPrefixScore
 from robust_e2e_gan_tpu.decode.host_reference import recognize_beam_host
@@ -13,7 +15,9 @@ __all__ = [
     "batched_prefix_scores",
     "beam_search_from_encoder",
     "make_beam_searcher",
+    "make_chunked_pipelined_beam_searcher",
     "make_pipelined_beam_searcher",
+    "serving_schedule_default",
     "CTCPrefixScore",
     "recognize_beam_host",
 ]
