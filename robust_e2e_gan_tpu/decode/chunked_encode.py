@@ -162,16 +162,24 @@ def make_chunk_plan(
             n = -(-frames // c)
             geom[name] = (n, c)
 
-    # --- margins: cover the largest ragged overshoot + VGG halo (the
-    # kept output rows' receptive field spans 8 input frames past the
-    # chunk on each side; see vgg_branch).
+    # --- margins. A sweep phase of n chunks of c frames covers
+    # [0, n*c): writes overshoot the logical extent by n*c - t on the
+    # right, and the backward lane's flip-reads underrun by the same
+    # amount on the left — THAT (not the chunk size) is what the margin
+    # must absorb. The VGG interior chunks additionally read an 8-frame
+    # halo each side. (An earlier draft used max chunk size, which let
+    # the single-chunk STFT phase balloon every T buffer ~3x.)
+    def _overshoot(name, frames):
+        n, c = geom[name]
+        return n * c - frames
+
     m_t = max(
-        [geom[k][1] for k in geom if k != "vgg" and not k.startswith("enc")]
-        + [4 * geom["vgg"][1]]
-    ) + 16
+        [_overshoot(k, t) for k in geom
+         if k != "vgg" and not k.startswith("enc")] + [16]
+    )
     m_t = -(-m_t // 4) * 4  # keep VGG slice arithmetic aligned
-    m_t4 = max([geom[k][1] for k in geom if k.startswith("enc")]
-               + [geom["vgg"][1]]) + 4
+    m_t4 = max([_overshoot(k, t4) for k in geom if k.startswith("enc")]
+               + [4]) + 4
 
     # --- lay the stages out in dependency order.
     stages = []
