@@ -126,29 +126,36 @@ def _production_row():
 
         jcfg = jcfg_for("reference")
         model = build_model(jcfg)
-        bcfg = BeamSearchConfig(
-            beam_size=8, ctc_weight=0.3, max_steps=48,
-            early_exit=True, end_detect=True,
-        )
-        searcher = make_beam_searcher(model, jcfg.e2e, bcfg,
-                                      use_enhancer=True)
         rng = np.random.default_rng(0)
         B = 128
         batch = make_batch(B, SCFG, rng, pad_to_samples=PAD_TO,
                            ignore_id=-1)
         wav = jnp.asarray(batch["noisy_wav"])
         lens = jnp.asarray(batch["wav_lengths"])
-        iters, dt = _timed(lambda: searcher(params, wav, lens).lengths,
-                           min_seconds=3.0, chunk=4)
-        return {
+        row = {
             "model": "reference-scale 36M, trained "
                      f"({os.path.relpath(ckpt_dir, root)})",
-            "early_exit": True,
-            "end_detect": True,
             "batch": B,
-            "utt_per_s": round(B * iters / dt, 2),
             "ckpt_step": int(entry["step"]),
         }
+        # both loop forms: the early-exit while_loop SHOULD win on a
+        # trained model (it stops at the true hypothesis lengths), but
+        # its first on-chip row measured 3.7 s/batch — 60x the scan —
+        # so time the fixed-48-step scan beside it to pin whether the
+        # while lowering itself is pathological on this platform.
+        for tag, ee in (("early_exit", True), ("fixed_48", False)):
+            bcfg = BeamSearchConfig(
+                beam_size=8, ctc_weight=0.3, max_steps=48,
+                early_exit=ee, end_detect=ee,
+            )
+            searcher = make_beam_searcher(model, jcfg.e2e, bcfg,
+                                          use_enhancer=True)
+            iters, dt = _timed(
+                lambda: searcher(params, wav, lens).lengths,
+                min_seconds=3.0, chunk=4,
+            )
+            row[f"utt_per_s_{tag}"] = round(B * iters / dt, 2)
+        return row
     except Exception as e:  # absent ckpt / compile failure: headline stands
         import sys
 

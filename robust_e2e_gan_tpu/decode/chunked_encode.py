@@ -259,9 +259,17 @@ def _blstm_chunk(p, x2, m2, state, dtype):
         h_out = m * h_new + (1.0 - m) * h_prev
         return (h_out, c_out), h_out * m
 
+    # FULLY unrolled: an inner lax.scan would be one XLA while op —
+    # an ATOMIC unit on the TPU serial schedule that can never
+    # interleave with the decode step's ops (the same structural rule
+    # that killed schedule-level staging; measured: the scan-bodied
+    # chunks ran the staged program 1.76x SLOWER than sequential,
+    # results/r5_hw/bench_b.log). Straight-line frame ops are what the
+    # scheduler CAN overlap with the co-resident decode chain.
     state, ys = jax.lax.scan(
         step, state,
         (jnp.moveaxis(gates_x, 2, 0), jnp.moveaxis(m2, 2, 0)),
+        unroll=True,
     )
     return state, jnp.moveaxis(ys, 0, 2)  # (2, B, c, H) f32
 
