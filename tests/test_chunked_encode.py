@@ -245,3 +245,32 @@ def test_chunked_encode_global_cmvn():
             np.asarray(r, np.float32), np.asarray(g, np.float32),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_chunked_encode_flagship_geometry_exact():
+    """Exactness at the REAL bench geometry (t=694, 58-frame chunks,
+    c4=16 VGG chunks with head/regular/tail boundaries) in f32 — the
+    on-chip bf16 divergence is untrained-weight chaos amplifying MXU
+    rounding, not indexing (this test pins the indexing)."""
+    import __graft_entry__ as g
+
+    jcfg = g._flagship_config(52)
+    model = RobustE2E(jcfg)
+    rng = np.random.default_rng(0)
+    scfg = SyntheticConfig(vocab_size=52, min_tokens=48, max_tokens=58)
+    batch = make_batch(1, scfg, rng, ignore_id=-1)
+    wav = jnp.asarray(batch["noisy_wav"])
+    lens = jnp.asarray(batch["wav_lengths"])
+    params = model.init(
+        jax.random.PRNGKey(0), wav, lens, jnp.asarray(batch["labels"]),
+        use_enhancer=True, method=RobustE2E.asr_forward,
+    )["params"]
+    ref = jax.jit(lambda p, w, l: model.apply(
+        {"params": p}, w, l, True,
+        method=RobustE2E.encode_for_decode))(params, wav, lens)
+    _, got = _run_chunked(model, jcfg, params, wav, lens, 48, True)
+    for r, g_ in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(g_, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
