@@ -125,6 +125,21 @@ def _production_row():
         params = tree["params_g"]
 
         jcfg = jcfg_for("reference")
+        # jcfg_for is the TRAIN-side config (differentiable scan BLSTMs,
+        # unroll tuned for the train step). Serving uses the measured
+        # A/B-winner ladder — parameters are impl-independent.
+        jcfg = dataclasses.replace(
+            jcfg,
+            e2e=dataclasses.replace(
+                jcfg.e2e,
+                encoder=dataclasses.replace(
+                    jcfg.e2e.encoder, lstm_impl="auto", scan_unroll=0
+                ),
+            ),
+            enhancer=dataclasses.replace(
+                jcfg.enhancer, lstm_impl="auto", scan_unroll=0
+            ),
+        )
         model = build_model(jcfg)
         rng = np.random.default_rng(0)
         B = 128
