@@ -92,11 +92,30 @@ def main():
             base.enhancer, lstm_impl="auto", scan_unroll=0
         ),
     )
-    for name, jcfg in (("train_impls_scan_unroll4", base),
-                       ("serving_impls_auto", serving)):
+    # third variant: full-XLA decode side — if the fused att/prefix
+    # kernels hit degenerate grids at this task's SHORT encoded length
+    # (T4 ~ 70 vs the 174 they were A/B'd at), both impl ladders above
+    # would be slow in beam_ms and this one would not.
+    xla_decode = dataclasses.replace(
+        serving,
+        e2e=dataclasses.replace(
+            serving.e2e,
+            attention=dataclasses.replace(
+                serving.e2e.attention, score_impl="xla"
+            ),
+            decoder=dataclasses.replace(
+                serving.e2e.decoder, step_impl="xla"
+            ),
+        ),
+    )
+    variants = (("train_impls_scan_unroll4", base, "auto"),
+                ("serving_impls_auto", serving, "auto"),
+                ("xla_decode_side", xla_decode, "twopass"))
+    for name, jcfg, prefix in variants:
         model = build_model(jcfg)
         bcfg = BeamSearchConfig(beam_size=8, ctc_weight=0.3,
-                                max_steps=48, early_exit=False)
+                                max_steps=48, early_exit=False,
+                                prefix_impl=prefix)
         encode_fn, decode_fn = _bind_search_parts(
             model, jcfg.e2e, bcfg, True, None, None, "wav", False
         )
