@@ -52,7 +52,10 @@ def _load_params():
         if os.path.exists(p):
             with open(p, "rb") as f:
                 tree = serialization.msgpack_restore(f.read())
-            return tree["params_g"], d
+            import jax as _jax
+            params = _jax.device_put(tree["params_g"])
+            _jax.block_until_ready(params)
+            return params, d
     raise SystemExit("no trained exp/ab_ref* checkpoint found")
 
 
